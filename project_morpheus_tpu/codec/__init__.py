@@ -1,0 +1,43 @@
+"""SNAC codec: audio-token frames -> 24 kHz PCM, TPU-native.
+
+The Orpheus data model (reference: Morpheus_Client/tts_engine/speechpipe.py)
+emits 7 audio tokens per codec frame, interleaving three SNAC codebook
+levels.  This package implements:
+
+- ``frames``: pure token-id <-> codebook-grid math (jit-safe, id-native —
+  no string round-trips on the hot path, unlike the reference).
+- ``snac_config`` / ``snac_jax``: the SNAC hierarchical decoder
+  (RVQ embed -> depthwise conv stack -> transposed-conv upsampling ->
+  tanh waveform) as a functional JAX model.
+- ``weights``: random init + torch-checkpoint conversion (weight-norm
+  folding) so real `snac_24khz` weights can be dropped in.
+- ``streaming``: the fixed-latency sliding-window hop decoder that
+  reproduces the reference's 49/28/7-token window and 2048-sample hop
+  contract.
+"""
+
+from .snac_config import SNACConfig
+from .frames import (
+    FRAME_TOKENS,
+    tokens_to_codes,
+    codes_to_tokens,
+    audio_code_from_custom_number,
+    parse_custom_token,
+)
+from .snac_jax import snac_decode, snac_encode
+from .weights import init_snac_params
+from .streaming import StreamingSnacDecoder, HOP_SAMPLES
+
+__all__ = [
+    "SNACConfig",
+    "FRAME_TOKENS",
+    "tokens_to_codes",
+    "codes_to_tokens",
+    "audio_code_from_custom_number",
+    "parse_custom_token",
+    "snac_decode",
+    "snac_encode",
+    "init_snac_params",
+    "StreamingSnacDecoder",
+    "HOP_SAMPLES",
+]

@@ -1,0 +1,325 @@
+"""Continuous-batching serving engine over a device-resident slot table.
+
+Architecture (the TPU-idiomatic replacement for reference L1, SURVEY.md §7.4):
+
+- A fixed-size **slot table** lives on device: dense KV cache
+  ``[layers, slots, max_seq, kv_heads, head_dim]``, per-slot lengths,
+  activity flags, sampling parameters and token-presence masks — one
+  pytree, donated through every jitted update so XLA mutates it in place.
+- **Admission** = a bucketed-prefill program writing the prompt's K/V into
+  a free slot (one compile per bucket length, no dynamic shapes).
+- **Decode** = one jitted step advancing *all* active slots together and
+  sampling per-slot (temperature / top-p / repetition penalty).
+- **Eviction** (stop token, max_tokens, cancel/barge-in) clears the slot
+  flags; co-batched requests are untouched — this is the KV analogue of
+  the reference's generator-drop reset (llama_local.py:152-157).
+
+The host loop is a single asyncio task; per-request token streams are
+asyncio queues, mirroring the thread/queue bridges of the reference
+(engine_class.py:103-134) without any threads.
+"""
+from __future__ import annotations
+
+import asyncio
+import dataclasses
+import functools
+import logging
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..model.config import LlamaConfig, ORPHEUS_SPECIAL_TOKENS
+from ..model.llama import init_kv_cache, llama_decode_step, llama_forward
+from ..model.sampling import SamplingParams, sample_logits
+from .request import Request, RequestState
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    max_slots: int = 8
+    max_seq_len: int = 2048
+    prefill_buckets: Tuple[int, ...] = (32, 64, 128, 256, 512, 1024)
+    cache_dtype: str = "bfloat16"
+    default_stop_ids: Tuple[int, ...] = (
+        ORPHEUS_SPECIAL_TOKENS["end_of_speech"],
+        ORPHEUS_SPECIAL_TOKENS["end_of_text"],
+    )
+
+
+def _bucket_for(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+# ----------------------------------------------------------- jitted kernels
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def _prefill(
+    params,
+    dstate,
+    tokens: jnp.ndarray,      # (1, S) padded prompt
+    length: jnp.ndarray,      # () real length
+    slot: jnp.ndarray,        # () target slot
+    samp: jnp.ndarray,        # (3,) temperature, top_p, repetition_penalty
+    key: jax.Array,
+    *,
+    cfg: LlamaConfig,
+):
+    """Write one prompt into ``slot`` and sample the first token."""
+    S = tokens.shape[1]
+    mask = jnp.arange(S)[None, :] < length
+    logits, cache = llama_forward(
+        params,
+        tokens,
+        cfg,
+        attn_mask=mask,
+        cache=dstate["cache"],
+        cache_offset=jnp.zeros((1,), jnp.int32),
+        cache_slots=slot[None],
+    )
+    last_logits = logits[0, length - 1][None]  # (1, Vp)
+
+    # mark prompt tokens seen for the repetition penalty
+    presence = dstate["presence"]
+    row = presence[slot]
+    row = row.at[tokens[0]].set(jnp.where(mask[0], True, row[tokens[0]]))
+    presence = presence.at[slot].set(row)
+
+    first = sample_logits(
+        last_logits,
+        key,
+        temperature=samp[0][None],
+        top_p=samp[1][None],
+        repetition_penalty=samp[2][None],
+        presence=presence[slot][None],
+        vocab_size=cfg.vocab_size,
+    )[0]
+    presence = presence.at[slot, first].set(True)
+
+    dstate = dict(dstate)
+    dstate["cache"] = cache
+    dstate["presence"] = presence
+    dstate["lengths"] = dstate["lengths"].at[slot].set(length)
+    dstate["active"] = dstate["active"].at[slot].set(True)
+    dstate["last_tokens"] = dstate["last_tokens"].at[slot].set(first)
+    dstate["temp"] = dstate["temp"].at[slot].set(samp[0])
+    dstate["top_p"] = dstate["top_p"].at[slot].set(samp[1])
+    dstate["rep_pen"] = dstate["rep_pen"].at[slot].set(samp[2])
+    return dstate, first
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def _decode(params, dstate, key, *, cfg: LlamaConfig):
+    """Advance every active slot by one token."""
+    active = dstate["active"]
+    logits, cache = llama_decode_step(
+        params,
+        dstate["last_tokens"],
+        cfg,
+        dstate["cache"],
+        dstate["lengths"],
+        active=active,
+    )
+    toks = sample_logits(
+        logits,
+        key,
+        temperature=dstate["temp"],
+        top_p=dstate["top_p"],
+        repetition_penalty=dstate["rep_pen"],
+        presence=dstate["presence"],
+        vocab_size=cfg.vocab_size,
+    )
+    toks = jnp.where(active, toks, 0)
+
+    B = toks.shape[0]
+    batch_idx = jnp.arange(B)
+    presence = dstate["presence"]
+    presence = presence.at[batch_idx, toks].set(
+        jnp.where(active, True, presence[batch_idx, toks])
+    )
+    dstate = dict(dstate)
+    dstate["cache"] = cache
+    dstate["presence"] = presence
+    dstate["lengths"] = dstate["lengths"] + active.astype(jnp.int32)
+    dstate["last_tokens"] = jnp.where(active, toks, dstate["last_tokens"])
+    return dstate, toks
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _release(dstate, slot_mask: jnp.ndarray):
+    """Free slots (stop / cancel / barge-in); leaves other slots untouched."""
+    dstate = dict(dstate)
+    dstate["active"] = jnp.where(slot_mask, False, dstate["active"])
+    dstate["lengths"] = jnp.where(slot_mask, 0, dstate["lengths"])
+    dstate["presence"] = jnp.where(
+        slot_mask[:, None], False, dstate["presence"]
+    )
+    return dstate
+
+
+# ------------------------------------------------------------------- engine
+
+
+class OrpheusEngine:
+    """Async continuous-batching engine producing per-request token streams."""
+
+    def __init__(
+        self,
+        params,
+        model_cfg: LlamaConfig,
+        engine_cfg: Optional[EngineConfig] = None,
+        *,
+        seed: int = 0,
+    ) -> None:
+        self.params = params
+        self.cfg = model_cfg
+        self.ecfg = engine_cfg or EngineConfig()
+        B = self.ecfg.max_slots
+        Vp = model_cfg.padded_vocab
+        cache_dt = jnp.dtype(self.ecfg.cache_dtype)
+        self.dstate = {
+            "cache": init_kv_cache(model_cfg, B, self.ecfg.max_seq_len, cache_dt),
+            "lengths": jnp.zeros((B,), jnp.int32),
+            "active": jnp.zeros((B,), jnp.bool_),
+            "last_tokens": jnp.zeros((B,), jnp.int32),
+            "presence": jnp.zeros((B, Vp), jnp.bool_),
+            "temp": jnp.zeros((B,), jnp.float32),
+            "top_p": jnp.ones((B,), jnp.float32),
+            "rep_pen": jnp.ones((B,), jnp.float32),
+        }
+        self._key = jax.random.key(seed)
+        self._free: List[int] = list(range(B))
+        self._by_slot: Dict[int, Request] = {}
+        self._pending: "asyncio.Queue[Request]" = asyncio.Queue()
+        self._wake = asyncio.Event()
+        self._task: Optional[asyncio.Task] = None
+        self._closed = False
+        self.steps = 0
+
+    # ------------------------------------------------------------------ api
+
+    async def submit(
+        self, prompt_ids: Sequence[int], sampling: Optional[SamplingParams] = None
+    ) -> Request:
+        req = Request(list(prompt_ids), (sampling or SamplingParams()).clipped())
+        await self._pending.put(req)
+        self._wake.set()
+        self._ensure_running()
+        return req
+
+    def cancel(self, req: Request) -> None:
+        """Barge-in / client-drop path: immediate slot eviction."""
+        if req.done:
+            return
+        req.state = RequestState.CANCELLED
+        if req.slot is not None:
+            self._evict(req.slot)
+        req.token_queue.put_nowait(None)
+
+    async def close(self) -> None:
+        self._closed = True
+        self._wake.set()
+        if self._task is not None:
+            await self._task
+
+    # ------------------------------------------------------------ internals
+
+    def _ensure_running(self) -> None:
+        if self._task is None or self._task.done():
+            self._task = asyncio.get_event_loop().create_task(self._run())
+
+    def _split_key(self) -> jax.Array:
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _evict(self, slot: int) -> None:
+        mask = np.zeros((self.ecfg.max_slots,), bool)
+        mask[slot] = True
+        self.dstate = _release(self.dstate, jnp.asarray(mask))
+        self._by_slot.pop(slot, None)
+        if slot not in self._free:
+            self._free.append(slot)
+
+    def _admit(self, req: Request) -> None:
+        slot = self._free.pop()
+        req.slot = slot
+        req.state = RequestState.PREFILLING
+        self._by_slot[slot] = req
+
+        ids = req.prompt_ids[-self.ecfg.max_seq_len // 2 :]
+        bucket = _bucket_for(len(ids), self.ecfg.prefill_buckets)
+        padded = np.zeros((1, bucket), np.int32)
+        padded[0, : len(ids)] = ids
+        samp = np.asarray(
+            [
+                req.sampling.temperature,
+                req.sampling.top_p,
+                req.sampling.repetition_penalty,
+            ],
+            np.float32,
+        )
+        self.dstate, first = _prefill(
+            self.params,
+            self.dstate,
+            jnp.asarray(padded),
+            jnp.asarray(len(ids), jnp.int32),
+            jnp.asarray(slot, jnp.int32),
+            jnp.asarray(samp),
+            self._split_key(),
+            cfg=self.cfg,
+        )
+        req.state = RequestState.DECODING
+        self._deliver(req, int(first))
+
+    def _deliver(self, req: Request, token: int) -> None:
+        """Route one sampled token to the request, handling stop conditions."""
+        stop_ids = set(req.sampling.stop_token_ids) | set(self.ecfg.default_stop_ids)
+        req.generated += 1
+        hit_stop = token in stop_ids
+        out_of_budget = (
+            req.generated >= req.sampling.max_tokens
+            or req.generated + len(req.prompt_ids) >= self.ecfg.max_seq_len - 1
+        )
+        if not hit_stop:
+            req.token_queue.put_nowait(token)
+        if hit_stop or out_of_budget:
+            req.state = RequestState.FINISHED
+            if req.slot is not None:
+                self._evict(req.slot)
+            req.token_queue.put_nowait(None)
+
+    async def _run(self) -> None:
+        while not self._closed:
+            # admission
+            while self._free and not self._pending.empty():
+                req = self._pending.get_nowait()
+                if req.state is RequestState.CANCELLED:
+                    continue
+                self._admit(req)
+
+            if not self._by_slot:
+                if self._pending.empty():
+                    self._wake.clear()
+                    try:
+                        await asyncio.wait_for(self._wake.wait(), timeout=0.5)
+                    except asyncio.TimeoutError:
+                        if self._closed:
+                            break
+                continue
+
+            # one decode step for all active slots
+            self.dstate, toks = _decode(self.params, self.dstate, self._split_key(), cfg=self.cfg)
+            self.steps += 1
+            toks_host = np.asarray(jax.device_get(toks))
+            for slot, req in list(self._by_slot.items()):
+                if req.state is RequestState.DECODING:
+                    self._deliver(req, int(toks_host[slot]))
+            # let other coroutines (HTTP handlers, codec) run
+            await asyncio.sleep(0)

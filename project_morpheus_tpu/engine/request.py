@@ -1,0 +1,49 @@
+"""Request objects for the serving engine."""
+from __future__ import annotations
+
+import asyncio
+import enum
+import itertools
+from dataclasses import dataclass, field
+from typing import AsyncGenerator, List, Optional
+
+from ..model.sampling import SamplingParams
+
+_req_counter = itertools.count()
+
+
+class RequestState(enum.Enum):
+    QUEUED = "queued"
+    PREFILLING = "prefilling"
+    DECODING = "decoding"
+    FINISHED = "finished"
+    CANCELLED = "cancelled"
+
+
+@dataclass
+class Request:
+    """One utterance generation request tracked by the engine."""
+
+    prompt_ids: List[int]
+    sampling: SamplingParams
+    request_id: int = field(default_factory=lambda: next(_req_counter))
+    state: RequestState = RequestState.QUEUED
+    slot: Optional[int] = None
+    generated: int = 0
+    # Unbounded: the device never blocks on a slow consumer; backpressure
+    # is applied by the orchestrator's pull loop instead.
+    token_queue: "asyncio.Queue[Optional[int]]" = field(
+        default_factory=asyncio.Queue
+    )
+
+    async def tokens(self) -> AsyncGenerator[int, None]:
+        """Async stream of generated token ids (None sentinel = EOS)."""
+        while True:
+            tok = await self.token_queue.get()
+            if tok is None:
+                return
+            yield tok
+
+    @property
+    def done(self) -> bool:
+        return self.state in (RequestState.FINISHED, RequestState.CANCELLED)

@@ -1,0 +1,291 @@
+"""Llama-3.2-class decoder forward in functional JAX.
+
+Replaces the reference's native decode engines (llama.cpp GGUF,
+Morpheus_Client/tts_engine/llama_local.py:38-87; vLLM,
+orpheus_tts_pypi/orpheus_tts/engine_class.py:60-134) with a TPU-first
+design:
+
+- Parameters are **layer-stacked** pytrees and the forward runs
+  ``lax.scan`` over layers: one traced layer body regardless of depth,
+  fast compiles, and clean pjit sharding (layer axis is never sharded).
+- Two entry points share weights: ``llama_forward`` (full-sequence, used
+  for training and prefill) and ``llama_decode_step`` (single token per
+  slot against a dense KV cache) — the decode step is the serving hot loop.
+- The KV cache is slot-major ``[layers, slots, max_seq, kv_heads, head_dim]``
+  so continuous batching (admission/eviction = barge-in) touches only the
+  slot dimension.
+- All matmuls stay bf16 on the MXU with fp32 softmax/norm accumulators.
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .config import LlamaConfig
+
+Params = Dict[str, object]
+KVCache = Dict[str, jnp.ndarray]
+
+
+# ------------------------------------------------------------------ helpers
+
+
+def rmsnorm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * lax.rsqrt(var + eps)).astype(dt) * scale
+
+
+def rope_inv_freqs(cfg: LlamaConfig) -> jnp.ndarray:
+    """Inverse RoPE frequencies with llama-3 long-context scaling."""
+    d = cfg.head_dim
+    inv = 1.0 / (cfg.rope_theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    if cfg.rope_scaling_factor == 1.0:
+        return inv
+    low_wl = cfg.rope_original_max_pos / cfg.rope_low_freq_factor
+    high_wl = cfg.rope_original_max_pos / cfg.rope_high_freq_factor
+    wavelen = 2.0 * math.pi / inv
+    smooth = (cfg.rope_original_max_pos / wavelen - cfg.rope_low_freq_factor) / (
+        cfg.rope_high_freq_factor - cfg.rope_low_freq_factor
+    )
+    scaled = jnp.where(
+        wavelen < high_wl,
+        inv,
+        jnp.where(
+            wavelen > low_wl,
+            inv / cfg.rope_scaling_factor,
+            (1.0 - smooth) * inv / cfg.rope_scaling_factor + smooth * inv,
+        ),
+    )
+    return scaled
+
+
+def apply_rope(
+    x: jnp.ndarray, positions: jnp.ndarray, inv_freqs: jnp.ndarray
+) -> jnp.ndarray:
+    """Rotate ``x`` of shape (B, S, H, D) by per-token ``positions`` (B, S)."""
+    angles = positions[..., None].astype(jnp.float32) * inv_freqs  # (B, S, D/2)
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+# --------------------------------------------------------------------- init
+
+
+def init_llama_params(
+    cfg: LlamaConfig, key: jax.Array, dtype: Optional[jnp.dtype] = None
+) -> Params:
+    dt = dtype or jnp.dtype(cfg.dtype)
+    L, D, F = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
+    H, KV, HD = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    Vp = cfg.padded_vocab
+    ks = jax.random.split(key, 10)
+
+    def normal(k, shape, scale):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dt)
+
+    params: Params = {
+        "embed": normal(ks[0], (Vp, D), 0.02),
+        "layers": {
+            "ln1": jnp.ones((L, D), dt),
+            "wq": normal(ks[1], (L, D, H * HD), D**-0.5),
+            "wk": normal(ks[2], (L, D, KV * HD), D**-0.5),
+            "wv": normal(ks[3], (L, D, KV * HD), D**-0.5),
+            "wo": normal(ks[4], (L, H * HD, D), (H * HD) ** -0.5),
+            "ln2": jnp.ones((L, D), dt),
+            "wg": normal(ks[5], (L, D, F), D**-0.5),
+            "wu": normal(ks[6], (L, D, F), D**-0.5),
+            "wd": normal(ks[7], (L, F, D), F**-0.5),
+        },
+        "ln_f": jnp.ones((D,), dt),
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = normal(ks[8], (D, Vp), D**-0.5)
+    return params
+
+
+def init_kv_cache(
+    cfg: LlamaConfig, batch: int, max_len: Optional[int] = None, dtype=jnp.bfloat16
+) -> KVCache:
+    S = max_len or cfg.max_seq_len
+    shape = (cfg.num_layers, batch, S, cfg.num_kv_heads, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+# ------------------------------------------------------------------ forward
+
+
+def _split_heads(x: jnp.ndarray, n: int, hd: int) -> jnp.ndarray:
+    return x.reshape(*x.shape[:-1], n, hd)
+
+
+def _attn_full(
+    q: jnp.ndarray,  # (B, S, H, D)
+    k: jnp.ndarray,  # (B, S, KV, D)
+    v: jnp.ndarray,
+    mask: jnp.ndarray,  # (B, S, S) additive or bool
+    cfg: LlamaConfig,
+) -> jnp.ndarray:
+    G = cfg.num_heads // cfg.num_kv_heads
+    B, S = q.shape[0], q.shape[1]
+    qg = q.reshape(B, S, cfg.num_kv_heads, G, cfg.head_dim)
+    scores = jnp.einsum(
+        "bqkgd,bskd->bkgqs", qg, k, preferred_element_type=jnp.float32
+    ) * (cfg.head_dim**-0.5)
+    scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bkgqs,bskd->bqkgd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(B, S, cfg.num_heads * cfg.head_dim).astype(q.dtype)
+
+
+def llama_forward(
+    params: Params,
+    tokens: jnp.ndarray,  # (B, S) int32
+    cfg: LlamaConfig,
+    *,
+    positions: Optional[jnp.ndarray] = None,
+    attn_mask: Optional[jnp.ndarray] = None,  # (B, S) padding mask, True=real
+    cache: Optional[KVCache] = None,
+    cache_offset: Optional[jnp.ndarray] = None,  # (B,) write offsets
+    cache_slots: Optional[jnp.ndarray] = None,   # (B,) cache lanes to write
+) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+    """Full-sequence forward (training / prefill).
+
+    Returns logits ``(B, S, padded_vocab)`` in fp32 and, when ``cache`` is
+    given, the cache with this sequence's K/V written at ``cache_offset``.
+    """
+    B, S = tokens.shape
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+    if attn_mask is None:
+        attn_mask = jnp.ones((B, S), bool)
+    causal = jnp.tril(jnp.ones((S, S), bool))
+    mask = causal[None] & attn_mask[:, None, :]
+
+    inv_freqs = rope_inv_freqs(cfg)
+    x = jnp.take(params["embed"], tokens, axis=0)
+
+    lp = params["layers"]
+    write_off = cache_offset if cache_offset is not None else jnp.zeros((B,), jnp.int32)
+
+    def layer(x, wl):
+        h = rmsnorm(x, wl["ln1"], cfg.rms_eps)
+        q = _split_heads(h @ wl["wq"], cfg.num_heads, cfg.head_dim)
+        k = _split_heads(h @ wl["wk"], cfg.num_kv_heads, cfg.head_dim)
+        v = _split_heads(h @ wl["wv"], cfg.num_kv_heads, cfg.head_dim)
+        q = apply_rope(q, positions, inv_freqs)
+        k = apply_rope(k, positions, inv_freqs)
+        attn = _attn_full(q, k, v, mask, cfg)
+        x = x + attn @ wl["wo"]
+        h = rmsnorm(x, wl["ln2"], cfg.rms_eps)
+        x = x + (jax.nn.silu(h @ wl["wg"]) * (h @ wl["wu"])) @ wl["wd"]
+        return x, (k, v)
+
+    x, kv = lax.scan(layer, x, lp)
+
+    x = rmsnorm(x, params["ln_f"], cfg.rms_eps)
+    head = params.get("lm_head")
+    if head is None:
+        head = params["embed"].T
+    logits = (x @ head).astype(jnp.float32)
+
+    new_cache = None
+    if cache is not None:
+        ks, vs = kv  # (L, B, S, KV, HD)
+        # scatter each slot's sequence into its cache lane at its offset
+        pos_idx = write_off[:, None] + jnp.arange(S)[None, :]  # (B, S)
+        lanes = cache_slots if cache_slots is not None else jnp.arange(B)
+        batch_idx = jnp.broadcast_to(lanes[:, None], (B, S))
+        new_cache = {
+            "k": _scatter_seq(cache["k"], ks, batch_idx, pos_idx),
+            "v": _scatter_seq(cache["v"], vs, batch_idx, pos_idx),
+        }
+    return logits, new_cache
+
+
+def _scatter_seq(cache, kv, batch_idx, pos_idx):
+    """Write kv (L,B,S,KV,HD) into cache (L,B,Smax,KV,HD) at pos_idx (B,S)."""
+    # vmap over layers to keep the scatter simple
+    def one_layer(c_l, kv_l):
+        return c_l.at[batch_idx, pos_idx].set(kv_l.astype(c_l.dtype))
+
+    return jax.vmap(one_layer)(cache, kv)
+
+
+def llama_decode_step(
+    params: Params,
+    tokens: jnp.ndarray,  # (B,) int32 — one new token per slot
+    cfg: LlamaConfig,
+    cache: KVCache,
+    lengths: jnp.ndarray,  # (B,) current context length per slot
+    *,
+    active: Optional[jnp.ndarray] = None,  # (B,) bool; inactive slots skipped
+) -> Tuple[jnp.ndarray, KVCache]:
+    """One autoregressive decode step for a batch of slots.
+
+    The new token is written at position ``lengths[b]``; attention sees
+    positions ``<= lengths[b]``.  Returns fp32 logits ``(B, padded_vocab)``
+    and the updated cache.  This is the per-token hot loop the reference
+    delegates to llama.cpp (llama_local.py:79) — here one jitted XLA program.
+    """
+    B = tokens.shape[0]
+    S = cache["k"].shape[2]
+    inv_freqs = rope_inv_freqs(cfg)
+    x = jnp.take(params["embed"], tokens[:, None], axis=0)  # (B, 1, D)
+    positions = lengths[:, None]
+    G = cfg.num_heads // cfg.num_kv_heads
+
+    key_pos = jnp.arange(S)[None, :]  # (1, S)
+    key_mask = key_pos <= lengths[:, None]  # (B, S) inclusive of new token
+
+    lp = params["layers"]
+    batch_idx = jnp.arange(B)
+
+    def layer(carry, inputs):
+        x = carry
+        wl, k_cache, v_cache = inputs
+        h = rmsnorm(x, wl["ln1"], cfg.rms_eps)
+        q = _split_heads(h @ wl["wq"], cfg.num_heads, cfg.head_dim)
+        k = _split_heads(h @ wl["wk"], cfg.num_kv_heads, cfg.head_dim)
+        v = _split_heads(h @ wl["wv"], cfg.num_kv_heads, cfg.head_dim)
+        q = apply_rope(q, positions, inv_freqs)
+        k = apply_rope(k, positions, inv_freqs)
+
+        k_cache = k_cache.at[batch_idx, lengths].set(k[:, 0].astype(k_cache.dtype))
+        v_cache = v_cache.at[batch_idx, lengths].set(v[:, 0].astype(v_cache.dtype))
+
+        qg = q.reshape(B, cfg.num_kv_heads, G, cfg.head_dim)
+        scores = jnp.einsum(
+            "bkgd,bskd->bkgs", qg, k_cache, preferred_element_type=jnp.float32
+        ) * (cfg.head_dim**-0.5)
+        scores = jnp.where(key_mask[:, None, None, :], scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1)
+        attn = jnp.einsum(
+            "bkgs,bskd->bkgd", probs.astype(v_cache.dtype), v_cache,
+            preferred_element_type=jnp.float32,
+        ).reshape(B, 1, cfg.num_heads * cfg.head_dim).astype(x.dtype)
+        x = x + attn @ wl["wo"]
+        h = rmsnorm(x, wl["ln2"], cfg.rms_eps)
+        x = x + (jax.nn.silu(h @ wl["wg"]) * (h @ wl["wu"])) @ wl["wd"]
+        return x, (k_cache, v_cache)
+
+    x, (new_k, new_v) = lax.scan(layer, x, (lp, cache["k"], cache["v"]))
+    x = rmsnorm(x[:, 0], params["ln_f"], cfg.rms_eps)
+    head = params.get("lm_head")
+    if head is None:
+        head = params["embed"].T
+    logits = (x @ head).astype(jnp.float32)
+    if active is not None:
+        logits = jnp.where(active[:, None], logits, 0.0)
+    return logits, {"k": new_k, "v": new_v}

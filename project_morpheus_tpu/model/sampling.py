@@ -1,0 +1,105 @@
+"""Jit-safe sampling over the Orpheus 156k-token vocab.
+
+Reference defaults (serving: temp 0.6 / top_p 0.9 / repetition 1.1, fixed —
+Morpheus_Client/tts_engine/inference.py:75-105; pypi engine: temp 0.6 /
+top_p 0.8 / repetition 1.3 — engine_class.py:103).  The repetition penalty
+is load-bearing for audio stability per the reference comments, so it is a
+first-class part of the jitted step, implemented HF/vLLM-style over all
+previously seen tokens (prompt + generated) via a per-slot presence mask.
+
+All parameters are per-slot arrays so a continuous-batching engine can mix
+requests with different sampling settings in one device step.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class SamplingParams:
+    """Host-side per-request sampling configuration."""
+
+    temperature: float = 0.6
+    top_p: float = 0.9
+    repetition_penalty: float = 1.1
+    max_tokens: int = 8192
+    stop_token_ids: Sequence[int] = (128258,)
+
+    def clipped(self) -> "SamplingParams":
+        """Range clamps mirroring the server's /config validation
+        (reference server.py:243-332: temp 0.1-1.5, top_p (0,1])."""
+        return dataclasses.replace(
+            self,
+            temperature=min(max(self.temperature, 0.0), 1.5),
+            top_p=min(max(self.top_p, 1e-3), 1.0),
+            repetition_penalty=max(self.repetition_penalty, 1.0),
+        )
+
+
+def init_sampler_state(batch: int, padded_vocab: int) -> Dict[str, jnp.ndarray]:
+    """Per-slot device state: which token ids have been seen."""
+    return {"presence": jnp.zeros((batch, padded_vocab), jnp.bool_)}
+
+
+def note_tokens(
+    state: Dict[str, jnp.ndarray], tokens: jnp.ndarray, mask: Optional[jnp.ndarray] = None
+) -> Dict[str, jnp.ndarray]:
+    """Mark ``tokens`` (B,) or (B, S) as seen; ``mask`` excludes padding."""
+    presence = state["presence"]
+    B = presence.shape[0]
+    if tokens.ndim == 1:
+        tokens = tokens[:, None]
+    if mask is None:
+        mask = jnp.ones(tokens.shape, bool)
+    batch_idx = jnp.broadcast_to(jnp.arange(B)[:, None], tokens.shape)
+    updates = jnp.where(mask, True, presence[batch_idx, tokens])
+    return {"presence": presence.at[batch_idx, tokens].set(updates)}
+
+
+def reset_slots(state: Dict[str, jnp.ndarray], slot_mask: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Clear presence for slots where ``slot_mask`` is True (eviction path)."""
+    return {
+        "presence": jnp.where(slot_mask[:, None], False, state["presence"])
+    }
+
+
+def sample_logits(
+    logits: jnp.ndarray,          # (B, padded_vocab) fp32
+    key: jax.Array,
+    *,
+    temperature: jnp.ndarray,     # (B,)
+    top_p: jnp.ndarray,           # (B,)
+    repetition_penalty: jnp.ndarray,  # (B,)
+    presence: jnp.ndarray,        # (B, padded_vocab) bool
+    vocab_size: int,
+) -> jnp.ndarray:
+    """Sample one token per slot; temperature==0 selects greedy argmax."""
+    B, Vp = logits.shape
+    lane = jnp.arange(Vp)[None, :]
+    logits = jnp.where(lane < vocab_size, logits, -jnp.inf)
+
+    pen = repetition_penalty[:, None]
+    penalised = jnp.where(logits > 0, logits / pen, logits * pen)
+    logits = jnp.where(presence, penalised, logits)
+
+    greedy = jnp.argmax(logits, axis=-1)
+
+    t = jnp.maximum(temperature, 1e-4)[:, None]
+    scaled = logits / t
+
+    # exact top-p (nucleus): keep the smallest prefix of the sorted
+    # distribution whose mass reaches top_p, always >= 1 token.
+    sorted_desc = -jnp.sort(-scaled, axis=-1)
+    probs = jax.nn.softmax(sorted_desc, axis=-1)
+    cum_before = jnp.cumsum(probs, axis=-1) - probs
+    keep = cum_before < top_p[:, None]
+    kept = jnp.sum(keep, axis=-1) - 1  # index of last kept (>= 0)
+    thresh = jnp.take_along_axis(sorted_desc, kept[:, None], axis=-1)
+    nucleus = jnp.where(scaled >= thresh, scaled, -jnp.inf)
+
+    sampled = jax.random.categorical(key, nucleus, axis=-1)
+    return jnp.where(temperature <= 0.0, greedy, sampled).astype(jnp.int32)

@@ -1,0 +1,137 @@
+"""Continuous-batching engine: admission, streaming, stop, cancel/barge-in.
+
+Mirrors the reference engine behaviours: per-request token streams
+(engine_class.py:103-134), stop-token termination, and slot eviction as
+the barge-in reset path (core.py:118-125, llama_local.py:152-157).
+"""
+import asyncio
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from project_morpheus_tpu.engine import EngineConfig, OrpheusEngine
+from project_morpheus_tpu.model import LlamaConfig, init_llama_params
+from project_morpheus_tpu.model.sampling import SamplingParams
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return LlamaConfig.tiny_vocab()
+
+
+@pytest.fixture(scope="module")
+def params(cfg):
+    return init_llama_params(cfg, jax.random.key(1), dtype=jnp.float32)
+
+
+def _engine(params, cfg, **kw):
+    ecfg = EngineConfig(
+        max_slots=kw.pop("max_slots", 4),
+        max_seq_len=kw.pop("max_seq_len", 128),
+        prefill_buckets=(16, 32),
+        default_stop_ids=(7,),  # arbitrary id within tiny vocab
+    )
+    return OrpheusEngine(params, cfg, ecfg, **kw)
+
+
+def _run(coro):
+    return asyncio.run(coro)
+
+
+def test_generates_until_max_tokens(params, cfg):
+    async def go():
+        eng = _engine(params, cfg)
+        req = await eng.submit([5, 6, 8], SamplingParams(temperature=0.8, max_tokens=12, stop_token_ids=()))
+        toks = [t async for t in req.tokens()]
+        await eng.close()
+        return toks
+
+    toks = _run(go())
+    # stop id 7 may terminate early; otherwise exactly max_tokens
+    assert 1 <= len(toks) <= 12
+    assert all(0 <= t < cfg.vocab_size for t in toks)
+
+
+def test_concurrent_requests_isolated(params, cfg):
+    async def go():
+        eng = _engine(params, cfg)
+        sp = SamplingParams(temperature=0.0, max_tokens=8, stop_token_ids=())
+        reqs = [await eng.submit([3, 11 + i], sp) for i in range(3)]
+        outs = await asyncio.gather(*[collect(r) for r in reqs])
+        await eng.close()
+        return outs
+
+    async def collect(r):
+        return [t async for t in r.tokens()]
+
+    outs = _run(go())
+    assert all(len(o) >= 1 for o in outs)
+    # greedy decoding is deterministic per prompt: same prompt = same tokens
+    outs2 = _run(go())
+    for a, b in zip(outs, outs2):
+        assert a == b
+
+
+def test_greedy_determinism_vs_solo(params, cfg):
+    """A request decoded alongside others must match the same request alone
+    (continuous batching must not leak state across slots)."""
+    sp = SamplingParams(temperature=0.0, max_tokens=6, stop_token_ids=())
+
+    async def solo():
+        eng = _engine(params, cfg)
+        req = await eng.submit([9, 4, 2], sp)
+        out = [t async for t in req.tokens()]
+        await eng.close()
+        return out
+
+    async def crowded():
+        eng = _engine(params, cfg)
+        others = [await eng.submit([13 + i], sp) for i in range(2)]
+        req = await eng.submit([9, 4, 2], sp)
+        out = [t async for t in req.tokens()]
+        for o in others:
+            async for _ in o.tokens():
+                pass
+        await eng.close()
+        return out
+
+    assert _run(solo()) == _run(crowded())
+
+
+def test_cancel_frees_slot(params, cfg):
+    async def go():
+        eng = _engine(params, cfg, max_slots=1)
+        sp = SamplingParams(temperature=0.9, max_tokens=1000, stop_token_ids=())
+        req1 = await eng.submit([2], sp)
+        # pull a few tokens then barge in
+        got = 0
+        async for _ in req1.tokens():
+            got += 1
+            if got == 3:
+                eng.cancel(req1)
+                break
+        # slot must free up for a second request
+        req2 = await eng.submit([3], SamplingParams(temperature=0.0, max_tokens=4, stop_token_ids=()))
+        out2 = [t async for t in req2.tokens()]
+        await eng.close()
+        return got, out2
+
+    got, out2 = _run(go())
+    assert got == 3 and len(out2) >= 1
+
+
+def test_stop_token_ends_stream(params, cfg):
+    """Force the stop id by making it the argmax via a crafted prompt sweep:
+    instead we just check the invariant — stream never contains a stop id."""
+    async def go():
+        eng = _engine(params, cfg)
+        sp = SamplingParams(temperature=1.0, max_tokens=64, stop_token_ids=(7,))
+        reqs = [await eng.submit([i + 1], sp) for i in range(4)]
+        outs = [[t async for t in r.tokens()] for r in reqs]
+        await eng.close()
+        return outs
+
+    for out in _run(go()):
+        assert 7 not in out
