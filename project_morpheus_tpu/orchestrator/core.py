@@ -1,0 +1,129 @@
+"""The orchestrator pull loop.
+
+Functional parity with reference orchestrator/core.py:27-125: per chunk it
+asks the ladder for the current granularity, pulls from the adapter, records
+a structured timeline event (base64 PCM + render timing), credits the
+ring/playback buffer, yields the chunk, and adapts the ladder against the
+comfort band.  Barge-in is an asyncio.Event observed at chunk boundaries;
+the reset path drops adapter state, flushes buffers, and logs the reset —
+the host-side mirror of the engine's KV slot eviction.
+"""
+from __future__ import annotations
+
+import asyncio
+import base64
+import json
+import logging
+import time
+from pathlib import Path
+from typing import AsyncGenerator, Callable, List, Optional, Tuple
+
+from .adapter import AudioChunk, TTSAdapter
+from .buffer import PlaybackBuffer
+from .chunk_ladder import ChunkLadder
+from .ring_buffer import RingBuffer
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_COMFORT_BAND: Tuple[float, float] = (50.0, 250.0)
+
+
+class Orchestrator:
+    def __init__(
+        self,
+        adapter: TTSAdapter,
+        buffer: PlaybackBuffer,
+        ladder: Optional[ChunkLadder] = None,
+        comfort_band: Tuple[float, float] = DEFAULT_COMFORT_BAND,
+        ring: Optional[RingBuffer] = None,
+    ) -> None:
+        self.adapter = adapter
+        self.buffer = buffer
+        self.ladder = ladder or ChunkLadder()
+        self.comfort_band = comfort_band
+        self.ring = ring
+        self._barge_in = asyncio.Event()
+        self.timeline: List[dict] = []
+        self.transcripts: List[dict] = []
+
+    # ------------------------------------------------------------- controls
+
+    def signal_barge_in(self) -> None:
+        """Interrupt the current utterance at the next chunk boundary."""
+        self._barge_in.set()
+
+    def log_transcript(self, text: str) -> None:
+        self.transcripts.append({"timestamp": time.time(), "text": text})
+
+    # ------------------------------------------------------------ telemetry
+
+    def _record(self, stage: str, start: float, result: str) -> None:
+        self.timeline.append(
+            {
+                "stage": stage,
+                "duration_ms": (time.perf_counter() - start) * 1000.0,
+                "result": result,
+            }
+        )
+
+    def save_timeline(self, path) -> None:
+        """Persist timeline + transcripts as JSON (replay.py input format)."""
+        out = Path(path)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        payload = {"events": self.timeline, "metrics": {"events": len(self.timeline)}}
+        out.write_text(json.dumps(payload, indent=2), encoding="utf-8")
+        (out.parent / "transcripts.json").write_text(
+            json.dumps(self.transcripts, indent=2), encoding="utf-8"
+        )
+
+    # ------------------------------------------------------------- hot loop
+
+    async def stream(
+        self, on_event: Optional[Callable[[dict], None]] = None
+    ) -> AsyncGenerator[AudioChunk, None]:
+        """Yield chunks until EOS or barge-in.
+
+        Each emitted chunk produces a JSON-serialisable event carrying
+        ``chunk_id``, ``adapter``, ``token_window``, ``render_ms`` and
+        base64 PCM — the stable observability schema the reference
+        documents in INTERFACES.md.
+        """
+        chunk_id = 0
+        while not self._barge_in.is_set():
+            adapter_name = getattr(self.adapter, "name", type(self.adapter).__name__)
+            window = self.ladder.current
+            start = time.perf_counter()
+            chunk = await self.adapter.pull(window)
+            render_ms = (time.perf_counter() - start) * 1000.0
+            self._record("adapter_pull", start, "eos" if chunk.eos else "ok")
+
+            event = {
+                "chunk_id": chunk_id,
+                "adapter": adapter_name,
+                "token_window": window,
+                "render_ms": render_ms,
+                "pcm": base64.b64encode(chunk.pcm).decode("ascii"),
+            }
+            logger.info(json.dumps(event))
+            if on_event is not None:
+                on_event(event)
+
+            if self.ring is not None:
+                self.ring.write(chunk.pcm)
+            else:
+                self.buffer.add(chunk.duration_ms)
+
+            yield chunk
+            if chunk.eos:
+                break
+            self.ladder.adapt(self.buffer.depth_ms, self.comfort_band)
+            chunk_id += 1
+
+        if self._barge_in.is_set():
+            start = time.perf_counter()
+            await self.adapter.reset()
+            self.buffer.reset()
+            if self.ring is not None:
+                self.ring.reset()
+            self._barge_in.clear()
+            self._record("barge_in_reset", start, "ok")

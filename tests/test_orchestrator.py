@@ -1,0 +1,167 @@
+"""Orchestrator invariants: EOS stop, barge-in reset, events, ladder, ring.
+
+Parity targets: reference tests/test_orchestrator.py and orchestrator/core.py.
+"""
+import asyncio
+import json
+
+import pytest
+
+from project_morpheus_tpu.orchestrator import (
+    AudioChunk,
+    ChunkLadder,
+    Orchestrator,
+    PlaybackBuffer,
+    RingBuffer,
+)
+
+
+class ScriptedAdapter:
+    name = "scripted"
+
+    def __init__(self, chunks, fail_after=None):
+        self._chunks = list(chunks)
+        self.reset_called = 0
+        self.pull_sizes = []
+
+    async def pull(self, chunk_size):
+        self.pull_sizes.append(chunk_size)
+        if self._chunks:
+            return self._chunks.pop(0)
+        return AudioChunk(pcm=b"", duration_ms=0.0, eos=True)
+
+    async def reset(self):
+        self.reset_called += 1
+
+
+def chunk(ms=10.0, eos=False, byte=b"\x01\x00"):
+    return AudioChunk(pcm=byte * int(16 * ms), duration_ms=ms, eos=eos)
+
+
+def run(coro):
+    return asyncio.run(coro)
+
+
+def test_stream_stops_on_eos():
+    adapter = ScriptedAdapter([chunk(), chunk(), chunk(eos=True)])
+    orch = Orchestrator(adapter, PlaybackBuffer(1000))
+
+    async def go():
+        return [c async for c in orch.stream()]
+
+    chunks = run(go())
+    assert len(chunks) == 3
+    assert chunks[-1].eos
+    assert adapter.reset_called == 0
+
+
+def test_barge_in_resets_everything():
+    adapter = ScriptedAdapter([chunk() for _ in range(10)])
+    buf = PlaybackBuffer(1000)
+    ring = RingBuffer(capacity=65536, sample_rate=16000, playback=buf)
+    orch = Orchestrator(adapter, buf, ring=ring)
+
+    async def go():
+        seen = 0
+        async for _ in orch.stream():
+            seen += 1
+            if seen == 2:
+                orch.signal_barge_in()
+        return seen
+
+    seen = run(go())
+    assert seen == 2  # terminated at the chunk boundary after the signal
+    assert adapter.reset_called == 1
+    assert buf.depth_ms == 0.0
+    assert len(ring) == 0
+    assert any(e["stage"] == "barge_in_reset" for e in orch.timeline)
+
+
+def test_events_carry_schema():
+    adapter = ScriptedAdapter([chunk(), chunk(eos=True)])
+    orch = Orchestrator(adapter, PlaybackBuffer(1000))
+    events = []
+
+    async def go():
+        async for _ in orch.stream(on_event=events.append):
+            pass
+
+    run(go())
+    assert [e["chunk_id"] for e in events] == [0, 1]
+    for e in events:
+        assert set(e) >= {"chunk_id", "adapter", "token_window", "render_ms", "pcm"}
+        assert e["adapter"] == "scripted"
+        json.dumps(e)  # JSON-serialisable
+
+
+def test_ladder_steps_up_when_buffer_shallow():
+    # 10ms chunks never reach the 50ms low-water mark -> ladder climbs
+    adapter = ScriptedAdapter([chunk() for _ in range(6)] + [chunk(eos=True)])
+    buf = PlaybackBuffer(1000)
+    orch = Orchestrator(adapter, buf, ChunkLadder())
+
+    async def go():
+        async for _ in orch.stream():
+            buf.consume(10.0)  # playback drains as fast as we produce
+
+    run(go())
+    # pull sizes should walk up the ladder: 8, 12, 16, ...
+    assert adapter.pull_sizes[:4] == [8, 12, 16, 24]
+
+
+def test_ladder_steps_down_when_buffer_deep():
+    adapter = ScriptedAdapter([chunk(ms=400.0) for _ in range(3)] + [chunk(eos=True)])
+    buf = PlaybackBuffer(1000)
+    ladder = ChunkLadder(index=3)  # start at 24
+    orch = Orchestrator(adapter, buf, ladder)
+
+    async def go():
+        async for _ in orch.stream():
+            pass
+
+    run(go())
+    assert adapter.pull_sizes[0] == 24
+    assert adapter.pull_sizes[1] < adapter.pull_sizes[0]
+
+
+def test_ring_buffer_ms_accounting():
+    buf = PlaybackBuffer(1000)
+    ring = RingBuffer(capacity=1024, sample_rate=16000, playback=buf)
+    ring.write(b"\x00" * 320)  # 160 samples @16k = 10ms
+    assert buf.depth_ms == pytest.approx(10.0)
+    ring.read(160)
+    assert buf.depth_ms == pytest.approx(5.0)
+    ring.reset()
+    assert len(ring) == 0
+
+
+def test_ring_buffer_wraparound():
+    ring = RingBuffer(capacity=8, sample_rate=16000)
+    assert ring.write(b"abcdef") == 6
+    assert ring.read(4) == b"abcd"
+    assert ring.write(b"ghijkl") == 6  # wraps
+    assert ring.read(8) == b"efghijkl"
+
+
+def test_ring_buffer_overflow_truncates():
+    ring = RingBuffer(capacity=4, sample_rate=16000)
+    assert ring.write(b"abcdef") == 4
+    assert ring.read(10) == b"abcd"
+
+
+def test_timeline_persistence(tmp_path):
+    adapter = ScriptedAdapter([chunk(eos=True)])
+    orch = Orchestrator(adapter, PlaybackBuffer(1000))
+    orch.log_transcript("hello world")
+
+    async def go():
+        async for _ in orch.stream():
+            pass
+
+    run(go())
+    out = tmp_path / "artifacts" / "timeline.json"
+    orch.save_timeline(out)
+    payload = json.loads(out.read_text())
+    assert payload["metrics"]["events"] == len(payload["events"]) >= 1
+    transcripts = json.loads((out.parent / "transcripts.json").read_text())
+    assert transcripts[0]["text"] == "hello world"
