@@ -1,0 +1,122 @@
+"""Local TPU adapter: engine token stream -> streaming SNAC -> pulled bytes.
+
+The TPU counterpart of the reference's llama.cpp adapter
+(tts_engine/llama_local.py:90-157): ``pull(chunk_size)`` slices an internal
+byte buffer fed by the engine's token stream through the streaming SNAC
+decoder; ``reset()`` cancels the in-flight request (KV slot eviction) and
+drops all buffered audio.  Sentence batching for long inputs happens here,
+mirroring inference.py:249-292 semantics.
+"""
+from __future__ import annotations
+
+import asyncio
+from typing import List, Optional
+
+from ..codec.streaming import StreamingSnacDecoder
+from ..model.sampling import SamplingParams
+from ..model.tokenizer import DEFAULT_VOICE, default_tokenizer, format_prompt_ids
+from ..orchestrator.adapter import AudioChunk
+from ..utils.text import split_text_into_sentences
+from .runtime import SAMPLE_RATE, audio_code_from_token_id, get_runtime
+
+
+class LocalJaxAdapter:
+    """Pull-based adapter over the in-process continuous-batching engine."""
+
+    name = "local_jax"
+
+    def __init__(
+        self,
+        prompt: str,
+        voice: str = DEFAULT_VOICE,
+        use_batching: bool = False,
+        max_batch_chars: int = 1000,
+        sampling: Optional[SamplingParams] = None,
+        decoder_mode: str = "native",
+    ) -> None:
+        self.prompt = prompt
+        self.voice = voice
+        self.use_batching = use_batching
+        self.max_batch_chars = max_batch_chars
+        self.sampling = sampling or SamplingParams()
+        self.decoder_mode = decoder_mode
+        self._buffer = bytearray()
+        self._task: Optional[asyncio.Task] = None
+        self._requests: List = []
+        self._exhausted = False
+        self._started = False
+
+    # ------------------------------------------------------------ lifecycle
+
+    def _texts(self) -> List[str]:
+        if self.use_batching and len(self.prompt) > self.max_batch_chars:
+            return split_text_into_sentences(self.prompt)
+        return [self.prompt]
+
+    async def _produce(self) -> None:
+        """Feed the byte buffer from engine token streams."""
+        runtime = await get_runtime().ensure()
+        decoder = StreamingSnacDecoder(
+            runtime.snac_params, runtime.snac_cfg, mode=self.decoder_mode
+        )
+        tokenizer = default_tokenizer()
+        try:
+            for text in self._texts():
+                prompt_ids = format_prompt_ids(text, self.voice, tokenizer)
+                req = await runtime.engine.submit(prompt_ids, self.sampling)
+                self._requests.append(req)
+                audio_pos = 0
+                async for token_id in req.tokens():
+                    code = audio_code_from_token_id(token_id, audio_pos)
+                    if code is None:
+                        continue
+                    audio_pos += 1
+                    for hop in decoder.push_tokens([code]):
+                        self._buffer.extend(hop.tobytes())
+                for hop in decoder.flush():
+                    self._buffer.extend(hop.tobytes())
+                decoder.reset()
+        finally:
+            self._exhausted = True
+
+    def _ensure_started(self) -> None:
+        if not self._started:
+            self._started = True
+            self._task = asyncio.get_event_loop().create_task(self._produce())
+
+    # -------------------------------------------------------------- adapter
+
+    async def pull(self, chunk_size: int) -> AudioChunk:
+        """Return up to ``chunk_size`` PCM bytes; never block on a full
+        utterance (llama_local.py:120-150 contract)."""
+        self._ensure_started()
+        while len(self._buffer) < chunk_size and not self._exhausted:
+            await asyncio.sleep(0.001)
+        if not self._buffer and self._exhausted:
+            if self._task is not None:
+                await self._task  # surface producer exceptions
+            return AudioChunk(pcm=b"", duration_ms=0.0, eos=True)
+        n = min(chunk_size, len(self._buffer))
+        pcm = bytes(self._buffer[:n])
+        del self._buffer[:n]
+        duration_ms = n / 2 / SAMPLE_RATE * 1000.0
+        eos = self._exhausted and not self._buffer
+        return AudioChunk(pcm=pcm, duration_ms=duration_ms, eos=eos)
+
+    async def reset(self) -> None:
+        """Barge-in: cancel in-flight requests and drop buffered audio."""
+        runtime = get_runtime()
+        for req in self._requests:
+            if runtime.engine is not None:
+                runtime.engine.cancel(req)
+        if self._task is not None:
+            self._task.cancel()
+            try:
+                await self._task
+            except (asyncio.CancelledError, Exception):
+                pass
+        self._requests.clear()
+        self._buffer.clear()
+        self._task = None
+        self._started = False
+        self._exhausted = False

@@ -1,0 +1,60 @@
+"""Python client SDK (reference Morpheus_Client/client.py:14-40)."""
+from __future__ import annotations
+
+import json
+from typing import AsyncGenerator, Optional
+
+import httpx
+
+
+class Client:
+    """Stream synthesis over REST (chunked WAV) or WebSocket (PCM frames)."""
+
+    def __init__(self, base_url: str = "http://127.0.0.1:5005") -> None:
+        self.base_url = base_url.rstrip("/")
+
+    async def stream_rest(
+        self, text: str, voice: Optional[str] = None, **kwargs
+    ) -> AsyncGenerator[bytes, None]:
+        payload = {"input": text}
+        if voice:
+            payload["voice"] = voice
+        payload.update(kwargs)
+        async with httpx.AsyncClient(timeout=None) as client:
+            async with client.stream(
+                "POST", f"{self.base_url}/v1/audio/speech", json=payload
+            ) as resp:
+                resp.raise_for_status()
+                async for chunk in resp.aiter_bytes():
+                    yield chunk
+
+    async def stream_ws(
+        self, text: str, voice: Optional[str] = None
+    ) -> AsyncGenerator[bytes, None]:
+        import websockets
+
+        uri = self.base_url.replace("http", "ws", 1) + "/ws/tts"
+        async with websockets.connect(uri) as ws:
+            await ws.send(json.dumps({"input": text, "voice": voice}))
+            async for message in ws:
+                if isinstance(message, bytes):
+                    yield message
+                else:
+                    try:
+                        if json.loads(message).get("eos"):
+                            return
+                    except json.JSONDecodeError:
+                        continue
+
+    async def barge_in(self) -> bool:
+        async with httpx.AsyncClient() as client:
+            resp = await client.post(f"{self.base_url}/barge-in")
+            return resp.json().get("ok", False)
+
+    async def voices(self) -> dict:
+        async with httpx.AsyncClient() as client:
+            return (await client.get(f"{self.base_url}/v1/audio/voices")).json()
+
+    async def stats(self) -> dict:
+        async with httpx.AsyncClient() as client:
+            return (await client.get(f"{self.base_url}/stats")).json()

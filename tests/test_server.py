@@ -1,0 +1,155 @@
+"""API server: speech streaming, config round-trip, stats, barge-in.
+
+Hermetic: ORPHEUS_ENGINE_MODE=mock (well-formed audio tokens, no model),
+in-process aiohttp TestClient — the aiohttp analogue of the reference's
+httpx.ASGITransport tests (SURVEY.md §4).
+"""
+import asyncio
+import json
+
+import numpy as np
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from project_morpheus_tpu.server.app import create_app, riff_header
+
+
+@pytest.fixture(autouse=True)
+def mock_engine(monkeypatch, tmp_path):
+    monkeypatch.setenv("ORPHEUS_ENGINE_MODE", "mock")
+    monkeypatch.setenv("ORPHEUS_MODEL_SIZE", "tiny")
+    monkeypatch.chdir(tmp_path)  # .env writes land in tmp
+    # fresh runtime per test
+    import project_morpheus_tpu.adapters.runtime as rt
+
+    monkeypatch.setattr(rt, "_runtime", None)
+    yield
+
+
+def _with_client(fn):
+    async def go():
+        app = create_app()
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            return await fn(client)
+        finally:
+            await client.close()
+
+    return asyncio.run(go())
+
+
+def test_riff_header_is_streaming():
+    hdr = riff_header()
+    assert hdr[:4] == b"RIFF"
+    assert hdr[4:8] == b"\xff\xff\xff\xff"  # unknown length
+    assert b"WAVE" in hdr and b"data" in hdr
+
+
+def test_speech_endpoint_streams_wav():
+    async def fn(client):
+        resp = await client.post("/v1/audio/speech", json={"input": "hello world"})
+        assert resp.status == 200
+        assert resp.headers["Content-Type"] == "audio/wav"
+        body = await resp.read()
+        return body
+
+    body = _with_client(fn)
+    assert body[:4] == b"RIFF"
+    pcm = np.frombuffer(body[44:], np.int16)
+    assert pcm.size > 0  # real audio followed the header
+
+
+def test_speech_endpoint_validates_input():
+    async def fn(client):
+        r1 = await client.post("/v1/audio/speech", json={})
+        r2 = await client.post("/v1/audio/speech", data=b"not json")
+        r3 = await client.post(
+            "/v1/audio/speech", json={"input": "x", "response_format": "mp3"}
+        )
+        return r1.status, r2.status, r3.status
+
+    assert _with_client(fn) == (400, 400, 400)
+
+
+def test_voices_endpoint():
+    async def fn(client):
+        resp = await client.get("/v1/audio/voices")
+        return await resp.json()
+
+    data = _with_client(fn)
+    assert "tara" in data["voices"]
+    assert data["default"] == "tara"
+    assert "en" in data["voices_by_language"]
+
+
+def test_adapters_and_sources_endpoints():
+    async def fn(client):
+        a = await (await client.get("/adapters")).json()
+        s = await (await client.get("/sources")).json()
+        return a, s
+
+    adapters, sources = _with_client(fn)
+    assert "local_jax" in adapters and "remote_sse" in adapters
+    assert adapters["local_jax"]["supports_barge_in"] is True
+    assert set(sources) == {"websocket", "http_poll", "cli_pipe"}
+
+
+def test_config_roundtrip_and_validation():
+    async def fn(client):
+        bad = await client.post("/config", json={"temperature": 9.0})
+        ok = await client.post(
+            "/config", json={"temperature": 0.7, "top_p": 0.8, "max_tokens": 100}
+        )
+        cfg = await (await client.get("/config")).json()
+        return bad.status, (await bad.json()), ok.status, cfg
+
+    bad_status, bad_body, ok_status, cfg = _with_client(fn)
+    assert bad_status == 400 and "temperature" in bad_body["errors"][0]
+    assert ok_status == 200
+    assert cfg["TEMPERATURE"] == "0.7"
+    assert cfg["ORPHEUS_TEMPERATURE"] == "0.7"  # persisted to env layer
+
+
+def test_config_swaps_adapter_and_voice():
+    async def fn(client):
+        r = await client.post("/config", json={"adapter": "remote_sse", "voice": "leo"})
+        cfg = await (await client.get("/config")).json()
+        bad = await client.post("/config", json={"adapter": "nope"})
+        return r.status, cfg, bad.status
+
+    status, cfg, bad = _with_client(fn)
+    assert status == 200 and cfg["adapter"] == "remote_sse" and cfg["voice"] == "leo"
+    assert bad == 400
+
+
+def test_stats_and_barge_in():
+    async def fn(client):
+        none_yet = await (await client.post("/barge-in")).json()
+        await (await client.post("/v1/audio/speech", json={"input": "hi"})).read()
+        st = await (await client.get("/stats")).json()
+        ok = await (await client.post("/barge-in")).json()
+        return none_yet, st, ok
+
+    none_yet, st, ok = _with_client(fn)
+    assert none_yet["ok"] is False
+    assert st["transcripts"][0]["text"] == "hi"
+    assert any(e["stage"] == "adapter_pull" for e in st["timeline"])
+    assert ok["ok"] is True
+
+
+def test_ws_tts_streams_pcm():
+    async def fn(client):
+        ws = await client.ws_connect("/ws/tts")
+        await ws.send_str(json.dumps({"input": "hello ws"}))
+        frames = []
+        async for msg in ws:
+            if msg.type.name == "BINARY":
+                frames.append(msg.data)
+            elif msg.type.name == "TEXT" and json.loads(msg.data).get("eos"):
+                break
+        await ws.close()
+        return frames
+
+    frames = _with_client(fn)
+    assert frames and all(isinstance(f, bytes) for f in frames)
