@@ -10,6 +10,7 @@ mirroring inference.py:249-292 semantics.
 from __future__ import annotations
 
 import asyncio
+import logging
 from typing import List, Optional
 
 from ..codec.streaming import StreamingSnacDecoder
@@ -76,6 +77,13 @@ class LocalJaxAdapter:
                 for hop in decoder.flush():
                     self._buffer.extend(hop.tobytes())
                 decoder.reset()
+        except asyncio.CancelledError:
+            raise
+        except Exception:
+            # surfaced again via pull(); log here so a crashed producer is
+            # visible even when the client only sees a truncated stream
+            logging.getLogger(__name__).exception("synthesis producer failed")
+            raise
         finally:
             self._exhausted = True
 

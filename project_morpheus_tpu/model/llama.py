@@ -159,6 +159,8 @@ def llama_forward(
     cache: Optional[KVCache] = None,
     cache_offset: Optional[jnp.ndarray] = None,  # (B,) write offsets
     cache_slots: Optional[jnp.ndarray] = None,   # (B,) cache lanes to write
+    lora: Optional[Params] = None,  # low-rank adapters (training/lora.py)
+    lora_scale: float = 1.0,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Full-sequence forward (training / prefill).
 
@@ -179,20 +181,32 @@ def llama_forward(
     lp = params["layers"]
     write_off = cache_offset if cache_offset is not None else jnp.zeros((B,), jnp.int32)
 
-    def layer(x, wl):
+    def proj(h, wl, ll, name):
+        """x @ W plus optional low-rank delta scale * (x @ A) @ B."""
+        y = h @ wl[name]
+        if ll is not None and name in ll:
+            a, b = ll[name]["a"], ll[name]["b"]
+            y = y + lora_scale * ((h @ a) @ b).astype(y.dtype)
+        return y
+
+    def layer(x, scanned):
+        wl, ll = scanned if lora is not None else (scanned, None)
         h = rmsnorm(x, wl["ln1"], cfg.rms_eps)
-        q = _split_heads(h @ wl["wq"], cfg.num_heads, cfg.head_dim)
-        k = _split_heads(h @ wl["wk"], cfg.num_kv_heads, cfg.head_dim)
-        v = _split_heads(h @ wl["wv"], cfg.num_kv_heads, cfg.head_dim)
+        q = _split_heads(proj(h, wl, ll, "wq"), cfg.num_heads, cfg.head_dim)
+        k = _split_heads(proj(h, wl, ll, "wk"), cfg.num_kv_heads, cfg.head_dim)
+        v = _split_heads(proj(h, wl, ll, "wv"), cfg.num_kv_heads, cfg.head_dim)
         q = apply_rope(q, positions, inv_freqs)
         k = apply_rope(k, positions, inv_freqs)
         attn = _attn_full(q, k, v, mask, cfg)
-        x = x + attn @ wl["wo"]
+        x = x + proj(attn, wl, ll, "wo")
         h = rmsnorm(x, wl["ln2"], cfg.rms_eps)
-        x = x + (jax.nn.silu(h @ wl["wg"]) * (h @ wl["wu"])) @ wl["wd"]
+        x = x + proj(
+            jax.nn.silu(proj(h, wl, ll, "wg")) * proj(h, wl, ll, "wu"), wl, ll, "wd"
+        )
         return x, (k, v)
 
-    x, kv = lax.scan(layer, x, lp)
+    scan_in = (lp, lora["layers"]) if lora is not None else lp
+    x, kv = lax.scan(layer, x, scan_in)
 
     x = rmsnorm(x, params["ln_f"], cfg.rms_eps)
     head = params.get("lm_head")

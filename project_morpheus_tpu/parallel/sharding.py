@@ -1,0 +1,139 @@
+"""NamedShardings for the Llama parameter/state pytrees.
+
+Two modes:
+
+- ``tp``: Megatron tensor parallelism over the ``model`` axis — q/k/v and
+  gate/up projections column-sharded, o and down projections row-sharded,
+  embedding/lm_head sharded on the (padded) vocab dimension so the logits
+  matmul is local and XLA all-gathers only at sampling.
+- ``fsdp``: ZeRO-3-style — every parameter sharded on its largest dimension
+  over the ``data`` axis; XLA materialises full layers on demand
+  (all-gather) and reduce-scatters gradients.  This is the pjit equivalent
+  of the reference's ``fsdp="auto_wrap"`` (pretrain/train.py:195).
+
+Serving state: KV cache and per-slot vectors shard slots over ``data`` and
+kv-heads over ``model``.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..model.config import LlamaConfig
+
+
+def _ns(mesh: Mesh, *spec) -> NamedSharding:
+    return NamedSharding(mesh, P(*spec))
+
+
+def param_shardings(cfg: LlamaConfig, mesh: Mesh, mode: str = "tp") -> Dict:
+    """Sharding pytree matching ``init_llama_params`` structure.
+
+    Layer-stacked weights carry a leading layer axis that is never sharded.
+    """
+    if mode == "tp":
+        layers = {
+            "ln1": _ns(mesh, None, None),
+            "wq": _ns(mesh, None, None, "model"),
+            "wk": _ns(mesh, None, None, "model"),
+            "wv": _ns(mesh, None, None, "model"),
+            "wo": _ns(mesh, None, "model", None),
+            "ln2": _ns(mesh, None, None),
+            "wg": _ns(mesh, None, None, "model"),
+            "wu": _ns(mesh, None, None, "model"),
+            "wd": _ns(mesh, None, "model", None),
+        }
+        out = {
+            "embed": _ns(mesh, "model", None),  # vocab-sharded
+            "layers": layers,
+            "ln_f": _ns(mesh, None),
+        }
+        if not cfg.tie_embeddings:
+            out["lm_head"] = _ns(mesh, None, "model")
+        return out
+    if mode == "fsdp":
+        layers = {
+            "ln1": _ns(mesh, None, "data"),
+            "wq": _ns(mesh, None, "data", None),
+            "wk": _ns(mesh, None, "data", None),
+            "wv": _ns(mesh, None, "data", None),
+            "wo": _ns(mesh, None, "data", None),
+            "ln2": _ns(mesh, None, "data"),
+            "wg": _ns(mesh, None, "data", None),
+            "wu": _ns(mesh, None, "data", None),
+            "wd": _ns(mesh, None, "data", None),
+        }
+        out = {
+            "embed": _ns(mesh, "data", None),
+            "layers": layers,
+            "ln_f": _ns(mesh, "data"),
+        }
+        if not cfg.tie_embeddings:
+            out["lm_head"] = _ns(mesh, "data", None)
+        return out
+    if mode == "fsdp_tp":
+        # 2-D sharding: hidden dim over data (ZeRO-3) and head/ffn dim over
+        # model (Megatron) simultaneously — the training layout for multi-
+        # host slices (data axis on DCN, model axis on ICI).
+        layers = {
+            "ln1": _ns(mesh, None, None),
+            "wq": _ns(mesh, None, "data", "model"),
+            "wk": _ns(mesh, None, "data", "model"),
+            "wv": _ns(mesh, None, "data", "model"),
+            "wo": _ns(mesh, None, "model", "data"),
+            "ln2": _ns(mesh, None, None),
+            "wg": _ns(mesh, None, "data", "model"),
+            "wu": _ns(mesh, None, "data", "model"),
+            "wd": _ns(mesh, None, "model", "data"),
+        }
+        out = {
+            "embed": _ns(mesh, "model", "data"),
+            "layers": layers,
+            "ln_f": _ns(mesh, None),
+        }
+        if not cfg.tie_embeddings:
+            out["lm_head"] = _ns(mesh, "data", "model")
+        return out
+    if mode == "replicated":
+        return jax.tree.map(
+            lambda _: _ns(mesh),
+            {
+                "embed": 0,
+                "layers": {
+                    k: 0
+                    for k in ("ln1", "wq", "wk", "wv", "wo", "ln2", "wg", "wu", "wd")
+                },
+                "ln_f": 0,
+            },
+        )
+    raise ValueError(f"unknown sharding mode {mode!r}")
+
+
+def kv_cache_shardings(mesh: Mesh) -> Dict:
+    """Cache (L, slots, S, KV, HD): slots over data, kv heads over model."""
+    return {
+        "k": _ns(mesh, None, "data", None, "model", None),
+        "v": _ns(mesh, None, "data", None, "model", None),
+    }
+
+
+def engine_state_shardings(mesh: Mesh) -> Dict:
+    """Full engine dstate pytree shardings (see OrpheusEngine.dstate)."""
+    slot = _ns(mesh, "data")
+    return {
+        "cache": kv_cache_shardings(mesh),
+        "lengths": slot,
+        "active": slot,
+        "last_tokens": slot,
+        "presence": _ns(mesh, "data", None),
+        "temp": slot,
+        "top_p": slot,
+        "rep_pen": slot,
+    }
+
+
+def batch_shardings(mesh: Mesh) -> NamedSharding:
+    """Training batches: (B, S) sharded over data."""
+    return _ns(mesh, "data", None)

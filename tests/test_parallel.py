@@ -1,0 +1,111 @@
+"""Sharding: TP/FSDP param placement and numerical invariance on the
+virtual 8-device CPU mesh (SURVEY.md §4 multi-process simulation)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from project_morpheus_tpu.model import (
+    LlamaConfig,
+    init_kv_cache,
+    init_llama_params,
+    llama_decode_step,
+    llama_forward,
+)
+from project_morpheus_tpu.parallel import (
+    engine_state_shardings,
+    kv_cache_shardings,
+    make_mesh,
+    mesh_shape_for,
+    param_shardings,
+)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return LlamaConfig.tiny_vocab()
+
+
+@pytest.fixture(scope="module")
+def params(cfg):
+    return init_llama_params(cfg, jax.random.key(0), dtype=jnp.float32)
+
+
+def test_mesh_shapes():
+    assert mesh_shape_for(8, 2) == (4, 2)
+    with pytest.raises(ValueError):
+        mesh_shape_for(8, 3)
+    mesh = make_mesh(model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+
+
+def test_tp_sharded_params_placement(cfg, params):
+    mesh = make_mesh(model=2)
+    shardings = param_shardings(cfg, mesh, mode="tp")
+    sharded = jax.device_put(params, shardings)
+    # wq column-sharded: per-device shard has half the heads
+    shard_shape = sharded["layers"]["wq"].sharding.shard_shape(
+        sharded["layers"]["wq"].shape
+    )
+    assert shard_shape[-1] == cfg.num_heads * cfg.head_dim // 2
+
+
+def test_tp_forward_matches_unsharded(cfg, params):
+    mesh = make_mesh(model=2)
+    shardings = param_shardings(cfg, mesh, mode="tp")
+    sharded = jax.device_put(params, shardings)
+    toks = jnp.asarray(np.random.default_rng(0).integers(0, cfg.vocab_size, (2, 8)))
+
+    ref, _ = llama_forward(params, toks, cfg)
+    got, _ = jax.jit(lambda p, t: llama_forward(p, t, cfg))(sharded, toks)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=5e-4, atol=5e-4)
+
+
+def test_fsdp_forward_matches_unsharded(cfg, params):
+    mesh = make_mesh(model=1)
+    shardings = param_shardings(cfg, mesh, mode="fsdp")
+    sharded = jax.device_put(params, shardings)
+    toks = jnp.asarray(np.random.default_rng(1).integers(0, cfg.vocab_size, (4, 8)))
+    ref, _ = llama_forward(params, toks, cfg)
+    got, _ = jax.jit(lambda p, t: llama_forward(p, t, cfg))(sharded, toks)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=5e-4, atol=5e-4)
+
+
+def test_tp_decode_step_matches_unsharded(cfg, params):
+    mesh = make_mesh(model=2)
+    pshard = param_shardings(cfg, mesh, mode="tp")
+    sharded_params = jax.device_put(params, pshard)
+
+    B, S = 8, 16
+    cache = init_kv_cache(cfg, B, S, dtype=jnp.float32)
+    tokens = jnp.asarray(np.arange(B), jnp.int32)
+    lengths = jnp.zeros((B,), jnp.int32)
+
+    ref_logits, _ = llama_decode_step(params, tokens, cfg, cache, lengths)
+
+    cshard = kv_cache_shardings(mesh)
+    sharded_cache = jax.device_put(cache, cshard)
+    got_logits, new_cache = jax.jit(
+        lambda p, t, c, l: llama_decode_step(p, t, cfg, c, l)
+    )(sharded_params, tokens, sharded_cache, lengths)
+    np.testing.assert_allclose(
+        np.asarray(got_logits), np.asarray(ref_logits), rtol=5e-4, atol=5e-4
+    )
+
+
+def test_engine_state_shardings_cover_dstate(cfg):
+    mesh = make_mesh(model=2)
+    shardings = engine_state_shardings(mesh)
+    B = 8
+    dstate = {
+        "cache": init_kv_cache(cfg, B, 16, dtype=jnp.float32),
+        "lengths": jnp.zeros((B,), jnp.int32),
+        "active": jnp.zeros((B,), bool),
+        "last_tokens": jnp.zeros((B,), jnp.int32),
+        "presence": jnp.zeros((B, cfg.padded_vocab), bool),
+        "temp": jnp.zeros((B,), jnp.float32),
+        "top_p": jnp.ones((B,), jnp.float32),
+        "rep_pen": jnp.ones((B,), jnp.float32),
+    }
+    placed = jax.device_put(dstate, shardings)  # structures must match
+    assert placed["cache"]["k"].sharding.spec == shardings["cache"]["k"].spec

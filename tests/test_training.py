@@ -1,0 +1,150 @@
+"""Training stack: interleaved batching, FSDP step, LoRA, checkpoints."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from project_morpheus_tpu.model import LlamaConfig, init_llama_params, llama_forward
+from project_morpheus_tpu.parallel import make_mesh
+from project_morpheus_tpu.training import (
+    BatchedRatioDataset,
+    LoraConfig,
+    TrainConfig,
+    init_lora_params,
+    lora_scale,
+    merge_lora,
+    pad_collate,
+    restore_params,
+    save_params,
+    shard_for_rank,
+    train_loop,
+)
+from project_morpheus_tpu.training.data import IGNORE_LABEL, PAD_ID
+from project_morpheus_tpu.training.lora import make_lora_train_step
+from project_morpheus_tpu.training.pretrain import causal_lm_loss, make_optimizer
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return LlamaConfig.tiny_vocab()
+
+
+@pytest.fixture(scope="module")
+def params(cfg):
+    return init_llama_params(cfg, jax.random.key(3), dtype=jnp.float32)
+
+
+def _examples(n, length=12, seed=0, vocab=1000):
+    rng = np.random.default_rng(seed)
+    return [
+        {"input_ids": rng.integers(1, vocab, size=(length,)).tolist()}
+        for _ in range(n)
+    ]
+
+
+def test_batched_ratio_dataset_cycle():
+    ds = BatchedRatioDataset(_examples(8), _examples(4, seed=1), batch_size=2, ratio=2)
+    kinds = [b["kind"] for b in ds]
+    assert kinds[:3] == ["text", "text", "audio"]
+    assert kinds[3:6] == ["text", "text", "audio"]
+
+
+def test_shard_for_rank_strided():
+    ex = [{"input_ids": [i]} for i in range(10)]
+    assert [e["input_ids"][0] for e in shard_for_rank(ex, 1, 4)] == [1, 5, 9]
+
+
+def test_pad_collate():
+    batch = pad_collate(
+        [{"input_ids": [1, 2, 3]}, {"input_ids": [4, 5]}], max_len=None
+    )
+    assert batch["input_ids"].shape == (2, 3)
+    assert batch["input_ids"][1, 2] == PAD_ID
+    assert batch["labels"][1, 2] == IGNORE_LABEL
+    assert batch["attention_mask"].tolist() == [[True] * 3, [True, True, False]]
+
+
+def test_loss_ignores_pad(cfg, params):
+    b1 = pad_collate([{"input_ids": [5, 6, 7, 8]}])
+    b2 = pad_collate([{"input_ids": [5, 6, 7, 8]}, {"input_ids": [5, 6, 7, 8, 9, 9]}])
+    l1 = causal_lm_loss(params, {k: jnp.asarray(v) for k, v in b1.items()}, cfg)
+    assert np.isfinite(float(l1)) and float(l1) > 0
+
+
+def test_train_loop_reduces_loss(cfg, params):
+    # overfit a repeated tiny batch: loss must drop substantially
+    ex = _examples(8, length=8, seed=2) * 8
+    audio = _examples(8, length=8, seed=3) * 4
+    ds = BatchedRatioDataset(ex, audio, batch_size=8, ratio=1)
+    tc = TrainConfig(
+        learning_rate=3e-3, warmup_steps=2, total_steps=12, seq_len=8, log_every=100
+    )
+    mesh = make_mesh(model=1)
+    new_params, history = train_loop(params, cfg, iter(ds), tc=tc, mesh=mesh)
+    losses = history["text_loss"]
+    assert len(losses) >= 4
+    assert losses[-1] < losses[0]
+    assert "audio_loss" in history and history["audio_loss"]
+
+
+def test_lora_zero_init_is_identity(cfg, params):
+    lc = LoraConfig(rank=4)
+    lora = init_lora_params(cfg, lc, jax.random.key(0))
+    toks = jnp.asarray([[1, 2, 3, 4]])
+    base, _ = llama_forward(params, toks, cfg)
+    with_lora, _ = llama_forward(
+        params, toks, cfg, lora=lora, lora_scale=lora_scale(lc)
+    )
+    np.testing.assert_allclose(np.asarray(base), np.asarray(with_lora), atol=1e-6)
+
+
+def test_lora_training_changes_only_adapters(cfg, params):
+    import optax
+
+    lc = LoraConfig(rank=4)
+    lora = init_lora_params(cfg, lc, jax.random.key(1))
+    opt = make_optimizer(TrainConfig(learning_rate=1e-2, warmup_steps=1, total_steps=10))
+    step = make_lora_train_step(cfg, lc, opt)
+    opt_state = opt.init(lora)
+    batch = {k: jnp.asarray(v) for k, v in pad_collate(_examples(2, 8)).items()}
+    losses = []
+    for _ in range(6):
+        lora, opt_state, loss = step(lora, opt_state, params, batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    # adapters actually moved
+    assert float(jnp.abs(lora["layers"]["wq"]["b"]).sum()) > 0
+
+
+def test_lora_merge_matches_adapter_forward(cfg, params):
+    lc = LoraConfig(rank=4)
+    lora = init_lora_params(cfg, lc, jax.random.key(2))
+    # give B nonzero values so the delta is nontrivial
+    lora["layers"]["wq"]["b"] = (
+        jax.random.normal(jax.random.key(5), lora["layers"]["wq"]["b"].shape) * 0.01
+    )
+    toks = jnp.asarray([[7, 8, 9]])
+    via_adapter, _ = llama_forward(
+        params, toks, cfg, lora=lora, lora_scale=lora_scale(lc)
+    )
+    merged = merge_lora(params, lora, lc)
+    via_merged, _ = llama_forward(merged, toks, cfg)
+    np.testing.assert_allclose(
+        np.asarray(via_adapter), np.asarray(via_merged), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_checkpoint_roundtrip(cfg, params, tmp_path):
+    path = save_params(tmp_path / "ckpt", params, step=7)
+    assert "step_7" in path
+    restored = restore_params(tmp_path / "ckpt", cfg=cfg, step=7)
+    np.testing.assert_array_equal(
+        np.asarray(restored["embed"]), np.asarray(params["embed"])
+    )
+
+
+def test_checkpoint_restore_latest_step(cfg, params, tmp_path):
+    save_params(tmp_path / "c", params, step=5)
+    save_params(tmp_path / "c", jax.tree.map(lambda x: x * 0, params), step=10)
+    restored = restore_params(tmp_path / "c", cfg=cfg)  # picks step_10
+    assert float(jnp.abs(restored["embed"]).sum()) == 0.0
