@@ -48,20 +48,51 @@ def conv1d(
     dilation: int = 1,
     groups: int = 1,
 ) -> jnp.ndarray:
-    """1-D convolution on ``(B, T, C)`` with kernel ``(k, in/groups, out)``."""
-    y = lax.conv_general_dilated(
-        x,
-        w,
-        window_strides=(stride,),
-        padding=[(padding, padding)],
-        rhs_dilation=(dilation,),
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        feature_group_count=groups,
-        preferred_element_type=x.dtype,
-    )
+    """1-D convolution on ``(B, T, C)`` with kernel ``(k, in/groups, out)``.
+
+    TPU-fast formulation: XLA's grouped/strided conv lowering is pathological
+    on TPU for these audio shapes (measured ~1000x slower than the math
+    requires), so convs are expressed as what the hardware actually runs —
+
+    - k==1: a plain matmul (MXU),
+    - depthwise (groups == channels): k shifted slice multiply-adds (VPU),
+    - dense k>1: k shifted-slice matmuls accumulated (MXU).
+    """
+    k = w.shape[0]
+    if k == 1 and stride == 1 and groups == 1:
+        y = x @ w[0]
+        return y + b if b is not None else y
+
+    T = x.shape[1]
+    t_out = (T + 2 * padding - dilation * (k - 1) - 1) // stride + 1
+    xp = jnp.pad(x, ((0, 0), (padding, padding), (0, 0))) if padding else x
+
+    depthwise = groups == x.shape[2] and w.shape[1] == 1
+    if not depthwise and groups != 1:
+        raise NotImplementedError("only depthwise or dense convs are used by SNAC")
+
+    y = None
+    for kk in range(k):
+        start = kk * dilation
+        sl = lax.slice_in_dim(xp, start, start + (t_out - 1) * stride + 1, axis=1)
+        if stride > 1:
+            sl = sl[:, ::stride]
+        contrib = sl * w[kk, 0][None, None, :] if depthwise else sl @ w[kk]
+        y = contrib if y is None else y + contrib
     if b is not None:
         y = y + b
     return y
+
+
+def _shift1(x: jnp.ndarray, offset: int) -> jnp.ndarray:
+    """y[t] = x[t + offset] with zero padding out of range."""
+    if offset == 0:
+        return x
+    B, T, C = x.shape
+    zeros = jnp.zeros((B, abs(offset), C), x.dtype)
+    if offset > 0:
+        return jnp.concatenate([x[:, offset:], zeros], axis=1)
+    return jnp.concatenate([zeros, x[:, :offset]], axis=1)
 
 
 def conv_transpose1d(
@@ -72,22 +103,46 @@ def conv_transpose1d(
     stride: int,
     padding: int,
 ) -> jnp.ndarray:
-    """Torch-semantics ConvTranspose1d via an input-dilated conv.
+    """Torch-semantics ConvTranspose1d (kernel 2*stride, pad stride/2).
 
-    ``w_flipped`` must already be the time-flipped, (k, in, out)-layout
-    kernel (see ``weights.py``); output length is ``(T-1)*stride + k - 2p``,
-    identical to ``torch.nn.ConvTranspose1d``.
+    ``w_flipped`` is the time-flipped (k, in, out) kernel (weights.py).  For
+    the even strides SNAC uses (k = 2s, pad = s/2) every output sample
+    receives exactly two input contributions, so the op decomposes into four
+    MXU matmuls over phase-stacked weight banks — no lhs-dilated conv, which
+    XLA lowers catastrophically on TPU.  Odd strides fall back to the
+    generic lowering.
     """
     k = w_flipped.shape[0]
-    y = lax.conv_general_dilated(
-        x,
-        w_flipped,
-        window_strides=(1,),
-        padding=[(k - 1 - padding, k - 1 - padding)],
-        lhs_dilation=(stride,),
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=x.dtype,
-    )
+    if k != 2 * stride or padding * 2 != stride or stride < 2:
+        y = lax.conv_general_dilated(
+            x,
+            w_flipped,
+            window_strides=(1,),
+            padding=[(k - 1 - padding, k - 1 - padding)],
+            lhs_dilation=(stride,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=x.dtype,
+        )
+        return y + b if b is not None else y
+
+    B, T, c_in = x.shape
+    c_out = w_flipped.shape[2]
+    s = stride
+    half = s // 2
+    W = w_flipped[::-1]  # W[j] == original torch weight[:, :, j]
+
+    # phases p < half draw from x[t], x[t-1]; phases p >= half from x[t+1], x[t]
+    # with tap indices q = (p + half) % s and q + s (derivation in repo notes)
+    A0 = jnp.concatenate([W[(p + half) % s] for p in range(half)], axis=1)
+    B0 = jnp.concatenate([W[(p + half) % s + s] for p in range(half)], axis=1)
+    A1 = jnp.concatenate([W[(p + half) % s] for p in range(half, s)], axis=1)
+    B1 = jnp.concatenate([W[(p + half) % s + s] for p in range(half, s)], axis=1)
+
+    x_m1 = _shift1(x, -1)
+    x_p1 = _shift1(x, 1)
+    y0 = (x @ A0 + x_m1 @ B0).reshape(B, T, half, c_out)
+    y1 = (x_p1 @ A1 + x @ B1).reshape(B, T, s - half, c_out)
+    y = jnp.concatenate([y0, y1], axis=2).reshape(B, T * s, c_out)
     if b is not None:
         y = y + b
     return y

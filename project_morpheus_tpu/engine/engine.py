@@ -44,6 +44,7 @@ class EngineConfig:
     max_seq_len: int = 2048
     prefill_buckets: Tuple[int, ...] = (32, 64, 128, 256, 512, 1024)
     cache_dtype: str = "bfloat16"
+    attn_impl: str = "auto"  # auto -> pallas on TPU, dense elsewhere
     default_stop_ids: Tuple[int, ...] = (
         ORPHEUS_SPECIAL_TOKENS["end_of_speech"],
         ORPHEUS_SPECIAL_TOKENS["end_of_text"],
@@ -115,8 +116,10 @@ def _prefill(
     return dstate, first
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
-def _decode(params, dstate, key, *, cfg: LlamaConfig):
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "attn_impl"), donate_argnums=(1,)
+)
+def _decode(params, dstate, key, *, cfg: LlamaConfig, attn_impl: str = "dense"):
     """Advance every active slot by one token."""
     active = dstate["active"]
     logits, cache = llama_decode_step(
@@ -126,6 +129,7 @@ def _decode(params, dstate, key, *, cfg: LlamaConfig):
         dstate["cache"],
         dstate["lengths"],
         active=active,
+        attn_impl=attn_impl,
     )
     toks = sample_logits(
         logits,
@@ -195,6 +199,9 @@ class OrpheusEngine:
             "rep_pen": jnp.ones((B,), jnp.float32),
         }
         self._key = jax.random.key(seed)
+        self.attn_impl = self.ecfg.attn_impl
+        if self.attn_impl == "auto":
+            self.attn_impl = "pallas" if jax.default_backend() == "tpu" else "dense"
         self._free: List[int] = list(range(B))
         self._by_slot: Dict[int, Request] = {}
         self._pending: "asyncio.Queue[Request]" = asyncio.Queue()
@@ -315,7 +322,13 @@ class OrpheusEngine:
                 continue
 
             # one decode step for all active slots
-            self.dstate, toks = _decode(self.params, self.dstate, self._split_key(), cfg=self.cfg)
+            self.dstate, toks = _decode(
+                self.params,
+                self.dstate,
+                self._split_key(),
+                cfg=self.cfg,
+                attn_impl=self.attn_impl,
+            )
             self.steps += 1
             toks_host = np.asarray(jax.device_get(toks))
             for slot, req in list(self._by_slot.items()):

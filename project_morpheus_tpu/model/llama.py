@@ -115,8 +115,13 @@ def init_llama_params(
 def init_kv_cache(
     cfg: LlamaConfig, batch: int, max_len: Optional[int] = None, dtype=jnp.bfloat16
 ) -> KVCache:
+    """Slot-table KV cache, laid out ``(L, slots, kv_heads, max_seq, head_dim)``.
+
+    The kv-head axis sits OUTSIDE the TPU-tiled trailing dims so per-head
+    cache streams are contiguous and Mosaic DMA slices stay tile-aligned.
+    """
     S = max_len or cfg.max_seq_len
-    shape = (cfg.num_layers, batch, S, cfg.num_kv_heads, cfg.head_dim)
+    shape = (cfg.num_layers, batch, cfg.num_kv_heads, S, cfg.head_dim)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
@@ -161,6 +166,7 @@ def llama_forward(
     cache_slots: Optional[jnp.ndarray] = None,   # (B,) cache lanes to write
     lora: Optional[Params] = None,  # low-rank adapters (training/lora.py)
     lora_scale: float = 1.0,
+    attn_impl: str = "dense",  # "dense" | "blockwise" (O(S*block) memory)
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Full-sequence forward (training / prefill).
 
@@ -197,7 +203,14 @@ def llama_forward(
         v = _split_heads(proj(h, wl, ll, "wv"), cfg.num_kv_heads, cfg.head_dim)
         q = apply_rope(q, positions, inv_freqs)
         k = apply_rope(k, positions, inv_freqs)
-        attn = _attn_full(q, k, v, mask, cfg)
+        if attn_impl == "blockwise":
+            from ..ops.blockwise_attention import blockwise_causal_attention
+
+            attn = blockwise_causal_attention(q, k, v, attn_mask).reshape(
+                B, S, cfg.num_heads * cfg.head_dim
+            )
+        else:
+            attn = _attn_full(q, k, v, mask, cfg)
         x = x + proj(attn, wl, ll, "wo")
         h = rmsnorm(x, wl["ln2"], cfg.rms_eps)
         x = x + proj(
@@ -229,10 +242,15 @@ def llama_forward(
 
 
 def _scatter_seq(cache, kv, batch_idx, pos_idx):
-    """Write kv (L,B,S,KV,HD) into cache (L,B,Smax,KV,HD) at pos_idx (B,S)."""
-    # vmap over layers to keep the scatter simple
+    """Write kv (L,B,S,KV,HD) into cache (L,B,KV,Smax,HD) at pos_idx (B,S)."""
+    KV = cache.shape[2]
+    kv_idx = jnp.arange(KV)[None, :, None]  # (1, KV, 1)
+
     def one_layer(c_l, kv_l):
-        return c_l.at[batch_idx, pos_idx].set(kv_l.astype(c_l.dtype))
+        vals = jnp.swapaxes(kv_l, 1, 2)  # (B, KV, S, HD)
+        return c_l.at[
+            batch_idx[:, None, :], kv_idx, pos_idx[:, None, :]
+        ].set(vals.astype(c_l.dtype))
 
     return jax.vmap(one_layer)(cache, kv)
 
@@ -245,6 +263,7 @@ def llama_decode_step(
     lengths: jnp.ndarray,  # (B,) current context length per slot
     *,
     active: Optional[jnp.ndarray] = None,  # (B,) bool; inactive slots skipped
+    attn_impl: str = "dense",  # "dense" (XLA einsum) | "pallas" (flash decode)
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One autoregressive decode step for a batch of slots.
 
@@ -254,7 +273,7 @@ def llama_decode_step(
     delegates to llama.cpp (llama_local.py:79) — here one jitted XLA program.
     """
     B = tokens.shape[0]
-    S = cache["k"].shape[2]
+    S = cache["k"].shape[3]
     inv_freqs = rope_inv_freqs(cfg)
     x = jnp.take(params["embed"], tokens[:, None], axis=0)  # (B, 1, D)
     positions = lengths[:, None]
@@ -276,19 +295,33 @@ def llama_decode_step(
         q = apply_rope(q, positions, inv_freqs)
         k = apply_rope(k, positions, inv_freqs)
 
-        k_cache = k_cache.at[batch_idx, lengths].set(k[:, 0].astype(k_cache.dtype))
-        v_cache = v_cache.at[batch_idx, lengths].set(v[:, 0].astype(v_cache.dtype))
+        kv_idx = jnp.arange(cfg.num_kv_heads)[None, :]
+        bidx = batch_idx[:, None]
+        lidx = lengths[:, None]
+        k_cache = k_cache.at[bidx, kv_idx, lidx].set(k[:, 0].astype(k_cache.dtype))
+        v_cache = v_cache.at[bidx, kv_idx, lidx].set(v[:, 0].astype(v_cache.dtype))
 
-        qg = q.reshape(B, cfg.num_kv_heads, G, cfg.head_dim)
-        scores = jnp.einsum(
-            "bkgd,bskd->bkgs", qg, k_cache, preferred_element_type=jnp.float32
-        ) * (cfg.head_dim**-0.5)
-        scores = jnp.where(key_mask[:, None, None, :], scores, -1e30)
-        probs = jax.nn.softmax(scores, axis=-1)
-        attn = jnp.einsum(
-            "bkgs,bskd->bkgd", probs.astype(v_cache.dtype), v_cache,
-            preferred_element_type=jnp.float32,
-        ).reshape(B, 1, cfg.num_heads * cfg.head_dim).astype(x.dtype)
+        if attn_impl == "pallas":
+            from ..ops.decode_attention import decode_attention
+
+            attn = decode_attention(
+                q[:, 0],
+                k_cache,
+                v_cache,
+                lengths + 1,
+                interpret=jax.default_backend() != "tpu",
+            ).reshape(B, 1, cfg.num_heads * cfg.head_dim).astype(x.dtype)
+        else:
+            qg = q.reshape(B, cfg.num_kv_heads, G, cfg.head_dim)
+            scores = jnp.einsum(
+                "bkgd,bksd->bkgs", qg, k_cache, preferred_element_type=jnp.float32
+            ) * (cfg.head_dim**-0.5)
+            scores = jnp.where(key_mask[:, None, None, :], scores, -1e30)
+            probs = jax.nn.softmax(scores, axis=-1)
+            attn = jnp.einsum(
+                "bkgs,bksd->bkgd", probs.astype(v_cache.dtype), v_cache,
+                preferred_element_type=jnp.float32,
+            ).reshape(B, 1, cfg.num_heads * cfg.head_dim).astype(x.dtype)
         x = x + attn @ wl["wo"]
         h = rmsnorm(x, wl["ln2"], cfg.rms_eps)
         x = x + (jax.nn.silu(h @ wl["wg"]) * (h @ wl["wu"])) @ wl["wd"]

@@ -91,15 +91,21 @@ def sample_logits(
     t = jnp.maximum(temperature, 1e-4)[:, None]
     scaled = logits / t
 
-    # exact top-p (nucleus): keep the smallest prefix of the sorted
-    # distribution whose mass reaches top_p, always >= 1 token.
-    sorted_desc = -jnp.sort(-scaled, axis=-1)
-    probs = jax.nn.softmax(sorted_desc, axis=-1)
-    cum_before = jnp.cumsum(probs, axis=-1) - probs
-    keep = cum_before < top_p[:, None]
-    kept = jnp.sum(keep, axis=-1) - 1  # index of last kept (>= 0)
-    thresh = jnp.take_along_axis(sorted_desc, kept[:, None], axis=-1)
-    nucleus = jnp.where(scaled >= thresh, scaled, -jnp.inf)
+    # Nucleus (top-p) without sorting: a full-vocab sort is the dominant
+    # sampling cost at 157k ids on TPU.  The nucleus {tokens with prob >=
+    # tau} equals the sorted-prefix set (up to ties), and tau is found by
+    # bisection on the kept probability mass — ~24 cheap masked reductions
+    # instead of an O(V log V) sort.
+    probs = jax.nn.softmax(scaled, axis=-1)
+    lo = jnp.zeros_like(top_p)
+    hi = jnp.max(probs, axis=-1)
+    for _ in range(24):
+        mid = 0.5 * (lo + hi)
+        mass = jnp.sum(jnp.where(probs >= mid[:, None], probs, 0.0), axis=-1)
+        keep = mass >= top_p  # threshold can move higher while mass covers p
+        lo = jnp.where(keep, mid, lo)
+        hi = jnp.where(keep, hi, mid)
+    nucleus = jnp.where(probs >= lo[:, None], scaled, -jnp.inf)
 
     sampled = jax.random.categorical(key, nucleus, axis=-1)
     return jnp.where(temperature <= 0.0, greedy, sampled).astype(jnp.int32)

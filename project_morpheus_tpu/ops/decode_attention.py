@@ -1,0 +1,190 @@
+"""Length-aware flash decode attention over the slot KV cache (Pallas).
+
+The serving hot loop reads the KV cache every step; a dense XLA attention
+reads the FULL allocated cache (slots x max_seq) regardless of how much of
+it is live, and materialises (B, H, S) score tensors.  This kernel is the
+TPU-native answer to vLLM's PagedAttention (reference engine_class.py,
+SURVEY.md §2.3): one grid program per (slot, kv-head) streams the cache
+from HBM in blocks with double-buffered DMA, stops at the slot's live
+length, and keeps a fused online-softmax accumulator in VMEM — HBM traffic
+scales with *used* context, not allocated capacity.
+
+Layouts match the engine cache: K/V ``(B, KV, S, HD)`` (head-major so
+per-head streams are contiguous and DMA slices stay tile-aligned),
+queries grouped GQA ``(B, H, HD)`` with ``G = H // KV`` heads per kv head.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def decode_attention_reference(
+    q: jnp.ndarray,        # (B, H, HD)
+    k_cache: jnp.ndarray,  # (B, KV, S, HD)
+    v_cache: jnp.ndarray,  # (B, KV, S, HD)
+    lengths: jnp.ndarray,  # (B,) number of live positions (inclusive count)
+) -> jnp.ndarray:
+    """Dense jnp oracle used for tests and as the CPU fallback."""
+    B, H, HD = q.shape
+    KV = k_cache.shape[1]
+    G = H // KV
+    S = k_cache.shape[2]
+    qg = q.reshape(B, KV, G, HD)
+    scores = jnp.einsum(
+        "bkgd,bksd->bkgs", qg, k_cache, preferred_element_type=jnp.float32
+    ) * (HD**-0.5)
+    mask = jnp.arange(S)[None, :] < lengths[:, None]  # (B, S)
+    scores = jnp.where(mask[:, None, None, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bkgs,bksd->bkgd", probs.astype(v_cache.dtype), v_cache,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(B, H, HD).astype(q.dtype)
+
+
+def _decode_attn_kernel(
+    lengths_ref,     # SMEM (B,)
+    q_ref,           # VMEM (1, H, HD) — grouped head order
+    k_hbm,           # ANY  (B, KV, S, HD)
+    v_hbm,           # ANY  (B, KV, S, HD)
+    o_ref,           # VMEM (1, H, HD)
+    k_buf,           # VMEM scratch (2, block_s, HD)
+    v_buf,           # VMEM scratch (2, block_s, HD)
+    sem,             # DMA sems (2, 2)
+    *,
+    block_s: int,
+    scale: float,
+    num_kv: int,
+):
+    """One program per slot; static loop over kv heads inside (Mosaic
+    requires >=8 sublanes per q block, so G-row blocks are not legal)."""
+    b = pl.program_id(0)
+    length = lengths_ref[b]
+    n_blocks = pl.cdiv(length, block_s)
+    H = q_ref.shape[1]
+    G = H // num_kv
+
+    def k_dma(slot, h, blk):
+        return pltpu.make_async_copy(
+            k_hbm.at[b, h, pl.ds(blk * block_s, block_s), :],
+            k_buf.at[slot],
+            sem.at[slot, 0],
+        )
+
+    def v_dma(slot, h, blk):
+        return pltpu.make_async_copy(
+            v_hbm.at[b, h, pl.ds(blk * block_s, block_s), :],
+            v_buf.at[slot],
+            sem.at[slot, 1],
+        )
+
+    for h in range(num_kv):
+        @pl.when(n_blocks > 0)
+        def _():
+            k_dma(0, h, 0).start()
+            v_dma(0, h, 0).start()
+
+        q = q_ref[0, h * G : (h + 1) * G, :].astype(jnp.float32) * scale
+
+        def body(blk, state, h=h):
+            m, l, acc = state
+            slot = blk % 2
+
+            @pl.when(blk + 1 < n_blocks)
+            def _():
+                k_dma((blk + 1) % 2, h, blk + 1).start()
+                v_dma((blk + 1) % 2, h, blk + 1).start()
+
+            k_dma(slot, h, blk).wait()
+            v_dma(slot, h, blk).wait()
+
+            k = k_buf[slot].astype(jnp.float32)  # (block_s, HD)
+            v = v_buf[slot].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (G, block_s)
+            pos = blk * block_s + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, 1
+            )
+            s = jnp.where(pos < length, s, -1e30)
+
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc_new = acc * alpha + jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return m_new, l_new, acc_new
+
+        m0 = jnp.full((G, 1), -1e30, jnp.float32)
+        l0 = jnp.zeros((G, 1), jnp.float32)
+        acc0 = jnp.zeros((G, q.shape[1]), jnp.float32)
+        m, l, acc = lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
+        o_ref[0, h * G : (h + 1) * G, :] = (
+            acc / jnp.maximum(l, 1e-30)
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_s", "interpret"))
+def decode_attention(
+    q: jnp.ndarray,        # (B, H, HD)
+    k_cache: jnp.ndarray,  # (B, KV, S, HD)
+    v_cache: jnp.ndarray,  # (B, KV, S, HD)
+    lengths: jnp.ndarray,  # (B,)
+    *,
+    block_s: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, H, HD = q.shape
+    KV, S = k_cache.shape[1], k_cache.shape[2]
+    G = H // KV
+    scale = HD**-0.5
+
+    block_s = min(block_s, S)
+    if S % block_s != 0:
+        # DMA blocks must tile the cache exactly; fall back to the dense
+        # oracle for irregular capacities (test-sized caches)
+        return decode_attention_reference(q, k_cache, v_cache, lengths)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, H, HD), lambda b, lens: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, H, HD), lambda b, lens: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_s, HD), jnp.float32 if interpret else k_cache.dtype),
+            pltpu.VMEM((2, block_s, HD), jnp.float32 if interpret else v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    # query head layout is already grouped: heads [h*G : (h+1)*G] attend to
+    # kv head h (matches llama.py's reshape(B, KV, G, HD))
+    kernel = functools.partial(
+        _decode_attn_kernel, block_s=block_s, scale=scale, num_kv=KV
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, HD), q.dtype),
+        interpret=interpret,
+    )(lengths, q, k_cache, v_cache)
+    return out

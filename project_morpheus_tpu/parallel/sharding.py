@@ -112,10 +112,10 @@ def param_shardings(cfg: LlamaConfig, mesh: Mesh, mode: str = "tp") -> Dict:
 
 
 def kv_cache_shardings(mesh: Mesh) -> Dict:
-    """Cache (L, slots, S, KV, HD): slots over data, kv heads over model."""
+    """Cache (L, slots, KV, S, HD): slots over data, kv heads over model."""
     return {
-        "k": _ns(mesh, None, "data", None, "model", None),
-        "v": _ns(mesh, None, "data", None, "model", None),
+        "k": _ns(mesh, None, "data", "model", None, None),
+        "v": _ns(mesh, None, "data", "model", None, None),
     }
 
 

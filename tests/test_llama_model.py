@@ -112,3 +112,31 @@ def test_inactive_slot_logits_zeroed(cfg, params):
     )
     assert np.allclose(np.asarray(logits[0]), 0.0)
     assert not np.allclose(np.asarray(logits[1]), 0.0)
+
+
+def test_pallas_attn_impl_matches_dense(cfg, params):
+    import jax.numpy as jnp
+
+    B, prefix = 2, 5
+    rng = np.random.default_rng(7)
+    seq = rng.integers(0, cfg.vocab_size, size=(prefix,)).astype(np.int32)
+    cache1 = init_kv_cache(cfg, B, 32, dtype=jnp.float32)
+    cache2 = init_kv_cache(cfg, B, 32, dtype=jnp.float32)
+    lengths = jnp.asarray([0, 0], jnp.int32)
+    toks = jnp.asarray([seq[0], seq[1]], jnp.int32)
+    l_dense, cache1 = llama_decode_step(params, toks, cfg, cache1, lengths)
+    l_pallas, cache2 = llama_decode_step(
+        params, toks, cfg, cache2, lengths, attn_impl="pallas"
+    )
+    np.testing.assert_allclose(
+        np.asarray(l_pallas), np.asarray(l_dense), rtol=3e-4, atol=3e-4
+    )
+    # a later step with real context
+    lengths = lengths + 1
+    l_dense, _ = llama_decode_step(params, toks, cfg, cache1, lengths)
+    l_pallas, _ = llama_decode_step(
+        params, toks, cfg, cache2, lengths, attn_impl="pallas"
+    )
+    np.testing.assert_allclose(
+        np.asarray(l_pallas), np.asarray(l_dense), rtol=3e-4, atol=3e-4
+    )

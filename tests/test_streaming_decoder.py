@@ -78,7 +78,8 @@ def test_native_emits_every_frame_once(params, cfg):
         codes = tokens_to_codes(window)
         audio = np.asarray(snac_decode(params, list(codes), cfg))[0]
         expect = (audio[4 * cfg.frame_samples : 5 * cfg.frame_samples] * 32767.0).astype(np.int16)
-        np.testing.assert_array_equal(hops[e], expect)
+        # jit vs eager float reassociation can flip the last int16 bit
+        np.testing.assert_allclose(hops[e], expect, atol=1)
 
 
 def test_parity_first_chunk_is_empty(params, cfg):
@@ -103,7 +104,7 @@ def test_parity_window_selection(params, cfg):
     codes = tokens_to_codes(frames.reshape(1, -1))
     audio = np.asarray(snac_decode(params, list(codes), cfg))[0]
     expect = (audio[2048:4096] * 32767.0).astype(np.int16)
-    np.testing.assert_array_equal(hops[1], expect)
+    np.testing.assert_allclose(hops[1], expect, atol=1)
 
 
 def test_parity_eos_padding(params, cfg):
