@@ -76,16 +76,28 @@ def main() -> None:
 
     # --- decode step (batch 8): chained with forced readback ---
     attn_impl = "pallas" if on_tpu else "dense"
-    d, toks = _decode(params, d, k, cfg=cfg, attn_impl=attn_impl)
-    np.asarray(toks)  # compile + first exec
-    best = float("inf")
-    for _trial in range(2):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            d, toks = _decode(params, d, k, cfg=cfg, attn_impl=attn_impl)
-        np.asarray(toks)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    step_time = best
+
+    def time_decode(p, state):
+        state, toks = _decode(p, state, k, cfg=cfg, attn_impl=attn_impl)
+        np.asarray(toks)  # compile + first exec
+        best = float("inf")
+        for _trial in range(2):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                state, toks = _decode(p, state, k, cfg=cfg, attn_impl=attn_impl)
+            np.asarray(toks)
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best, state
+
+    step_time_bf16, d = time_decode(params, d)
+
+    # int8 weight-only path (serving default on TPU: ORPHEUS_QUANT=int8)
+    from project_morpheus_tpu.model.quant import quantize_params_int8
+
+    qparams = quantize_params_int8(params)
+    step_time_int8, d = time_decode(qparams, d)
+    step_time = min(step_time_bf16, step_time_int8)
+    params_for_prefill = qparams if step_time_int8 <= step_time_bf16 else params
 
     # --- SNAC hop decode: chain via token dependency ---
     snac_params = init_snac_params(snac_cfg, seed=0)
@@ -116,13 +128,13 @@ def main() -> None:
     # --- TTFA estimate: prefill(64-token prompt) + 7 steps + first hop ---
     samp = jnp.asarray([0.6, 0.9, 1.1], jnp.float32)
     d, first = _prefill(
-        params, d, jnp.zeros((1, 64), jnp.int32), jnp.asarray(48, jnp.int32),
+        params_for_prefill, d, jnp.zeros((1, 64), jnp.int32), jnp.asarray(48, jnp.int32),
         jnp.asarray(0, jnp.int32), samp, jax.random.key(2), cfg=cfg,
     )
     np.asarray(first)  # compile
     t0 = time.perf_counter()
     d, first = _prefill(
-        params, d, jnp.zeros((1, 64), jnp.int32), jnp.asarray(48, jnp.int32),
+        params_for_prefill, d, jnp.zeros((1, 64), jnp.int32), jnp.asarray(48, jnp.int32),
         jnp.asarray(0, jnp.int32), samp, jax.random.key(3), cfg=cfg,
     )
     np.asarray(first)
@@ -137,6 +149,8 @@ def main() -> None:
         "platform": platform,
         "model": "orpheus_3b_bf16" if on_tpu else "tiny_cpu_smoke",
         "decode_step_ms": round(step_time * 1000, 3),
+        "decode_step_ms_bf16": round(step_time_bf16 * 1000, 3),
+        "decode_step_ms_int8": round(step_time_int8 * 1000, 3),
         "snac_hop_ms": round(hop_time * 1000, 3),
         "prefill64_ms": round(prefill_time * 1000, 3),
         "tokens_per_s_batch8": round(tokens_per_s, 1),

@@ -137,6 +137,10 @@ class ServingRuntime:
         else:
             dtype = jnp.float32 if size == "tiny" else jnp.bfloat16
             params = init_llama_params(cfg, jax.random.key(0), dtype=dtype)
+        if os.environ.get("ORPHEUS_QUANT", "").lower() == "int8":
+            from ..model.quant import quantize_params_int8
+
+            params = quantize_params_int8(params)
         ecfg = EngineConfig(
             max_slots=int(os.environ.get("ORPHEUS_MAX_SLOTS", "8")),
             max_seq_len=int(os.environ.get("ORPHEUS_MAX_SEQ", "2048")),

@@ -74,7 +74,11 @@ class StreamingSnacDecoder:
         window_frames: int = 7,
     ) -> None:
         assert mode in ("native", "parity")
-        self.params = params
+        import jax
+
+        # ensure device residency: host-numpy leaves would be re-shipped on
+        # every hop (catastrophic over a tunnelled backend)
+        self.params = jax.device_put(params)
         self.cfg = cfg or SNACConfig.snac_24khz()
         self.mode = mode
         self.lookahead = lookahead_frames

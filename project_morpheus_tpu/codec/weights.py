@@ -249,6 +249,18 @@ def params_from_torch_state(state: TorchState, cfg: SNACConfig) -> Dict[str, obj
     return {"quantizer": quant, "decoder": dec, "encoder": enc}
 
 
+def to_device(params: Dict[str, object]) -> Dict[str, object]:
+    """Commit the params pytree to the default device.
+
+    CRITICAL on remote/tunnelled backends: numpy leaves would otherwise be
+    re-transferred on every decode call (measured 2100 ms/hop vs 2.5 ms
+    with device-resident weights on the axon TPU tunnel).
+    """
+    import jax
+
+    return jax.device_put(params)
+
+
 def init_snac_params(cfg: SNACConfig, seed: int = 0) -> Dict[str, object]:
     """Random-initialised JAX params (shape-faithful to `snac_24khz`)."""
-    return params_from_torch_state(random_torch_state(cfg, seed), cfg)
+    return to_device(params_from_torch_state(random_torch_state(cfg, seed), cfg))

@@ -45,6 +45,7 @@ class EngineConfig:
     prefill_buckets: Tuple[int, ...] = (32, 64, 128, 256, 512, 1024)
     cache_dtype: str = "bfloat16"
     attn_impl: str = "auto"  # auto -> pallas on TPU, dense elsewhere
+    steps_per_sync: int = 0  # 0/auto -> 7 on TPU (one SNAC frame), 1 elsewhere
     default_stop_ids: Tuple[int, ...] = (
         ORPHEUS_SPECIAL_TOKENS["end_of_speech"],
         ORPHEUS_SPECIAL_TOKENS["end_of_text"],
@@ -116,11 +117,8 @@ def _prefill(
     return dstate, first
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "attn_impl"), donate_argnums=(1,)
-)
-def _decode(params, dstate, key, *, cfg: LlamaConfig, attn_impl: str = "dense"):
-    """Advance every active slot by one token."""
+def _decode_core(params, dstate, key, cfg: LlamaConfig, attn_impl: str):
+    """One decode+sample step over the slot table (shared by both jits)."""
     active = dstate["active"]
     logits, cache = llama_decode_step(
         params,
@@ -153,7 +151,51 @@ def _decode(params, dstate, key, *, cfg: LlamaConfig, attn_impl: str = "dense"):
     dstate["presence"] = presence
     dstate["lengths"] = dstate["lengths"] + active.astype(jnp.int32)
     dstate["last_tokens"] = jnp.where(active, toks, dstate["last_tokens"])
-    return dstate, toks
+    return dstate, jnp.where(active, toks, -1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "attn_impl"), donate_argnums=(1,)
+)
+def _decode(params, dstate, key, *, cfg: LlamaConfig, attn_impl: str = "dense"):
+    """Advance every active slot by one token."""
+    return _decode_core(params, dstate, key, cfg, attn_impl)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "attn_impl", "n_steps", "stop_ids"),
+    donate_argnums=(1,),
+)
+def _decode_multi(
+    params,
+    dstate,
+    key,
+    *,
+    cfg: LlamaConfig,
+    attn_impl: str,
+    n_steps: int,
+    stop_ids: Tuple[int, ...],
+):
+    """Advance all slots by up to ``n_steps`` tokens in ONE dispatch.
+
+    Amortises the per-dispatch host/tunnel overhead (measured ~6 ms on the
+    axon backend) across a full 7-token SNAC frame.  Slots that emit a stop
+    token are deactivated on-device so later steps in the same dispatch
+    don't extend them; their remaining outputs read -1.
+    """
+
+    def body(dstate, k):
+        dstate, toks = _decode_core(params, dstate, k, cfg, attn_impl)
+        is_stop = jnp.zeros(toks.shape, bool)
+        for s in stop_ids:
+            is_stop = is_stop | (toks == s)
+        dstate["active"] = dstate["active"] & ~is_stop
+        return dstate, toks
+
+    keys = jax.random.split(key, n_steps)
+    dstate, toks = jax.lax.scan(body, dstate, keys)
+    return dstate, toks  # toks (n_steps, B)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -202,6 +244,9 @@ class OrpheusEngine:
         self.attn_impl = self.ecfg.attn_impl
         if self.attn_impl == "auto":
             self.attn_impl = "pallas" if jax.default_backend() == "tpu" else "dense"
+        self.steps_per_sync = self.ecfg.steps_per_sync
+        if self.steps_per_sync <= 0:
+            self.steps_per_sync = 7 if jax.default_backend() == "tpu" else 1
         self._free: List[int] = list(range(B))
         self._by_slot: Dict[int, Request] = {}
         self._pending: "asyncio.Queue[Request]" = asyncio.Queue()
@@ -245,6 +290,13 @@ class OrpheusEngine:
     def _split_key(self) -> jax.Array:
         self._key, sub = jax.random.split(self._key)
         return sub
+
+    def _all_stop_ids(self) -> set:
+        """Union of stop ids across in-flight requests (device-side stops)."""
+        ids = set(self.ecfg.default_stop_ids)
+        for req in self._by_slot.values():
+            ids.update(req.sampling.stop_token_ids)
+        return ids
 
     def _evict(self, slot: int) -> None:
         mask = np.zeros((self.ecfg.max_slots,), bool)
@@ -321,18 +373,39 @@ class OrpheusEngine:
                             break
                 continue
 
-            # one decode step for all active slots
-            self.dstate, toks = _decode(
-                self.params,
-                self.dstate,
-                self._split_key(),
-                cfg=self.cfg,
-                attn_impl=self.attn_impl,
-            )
-            self.steps += 1
-            toks_host = np.asarray(jax.device_get(toks))
-            for slot, req in list(self._by_slot.items()):
-                if req.state is RequestState.DECODING:
-                    self._deliver(req, int(toks_host[slot]))
+            # advance all active slots; one dispatch covers steps_per_sync
+            # tokens (a full SNAC frame on TPU)
+            if self.steps_per_sync > 1:
+                # device-side early stop uses the engine-wide default ids
+                # only (static -> one compiled program); per-request custom
+                # stop ids are still honoured on the host in _deliver, at
+                # worst steps_per_sync-1 wasted tokens for that slot.
+                stop_ids = tuple(sorted(self.ecfg.default_stop_ids))
+                self.dstate, toks = _decode_multi(
+                    self.params,
+                    self.dstate,
+                    self._split_key(),
+                    cfg=self.cfg,
+                    attn_impl=self.attn_impl,
+                    n_steps=self.steps_per_sync,
+                    stop_ids=stop_ids,
+                )
+                toks_host = np.asarray(jax.device_get(toks))  # (n, B)
+            else:
+                self.dstate, toks = _decode(
+                    self.params,
+                    self.dstate,
+                    self._split_key(),
+                    cfg=self.cfg,
+                    attn_impl=self.attn_impl,
+                )
+                toks_host = np.asarray(jax.device_get(toks))[None, :]
+            self.steps += toks_host.shape[0]
+            for step_row in toks_host:
+                for slot, req in list(self._by_slot.items()):
+                    if req.state is RequestState.DECODING:
+                        token = int(step_row[slot])
+                        if token >= 0:
+                            self._deliver(req, token)
             # let other coroutines (HTTP handlers, codec) run
             await asyncio.sleep(0)

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .config import LlamaConfig
+from .quant import embed_lookup, matmul_maybe_quant, tied_lm_head_logits
 
 Params = Dict[str, object]
 KVCache = Dict[str, jnp.ndarray]
@@ -182,14 +183,14 @@ def llama_forward(
     mask = causal[None] & attn_mask[:, None, :]
 
     inv_freqs = rope_inv_freqs(cfg)
-    x = jnp.take(params["embed"], tokens, axis=0)
+    x = embed_lookup(params["embed"], tokens, dtype=params["ln_f"].dtype)
 
     lp = params["layers"]
     write_off = cache_offset if cache_offset is not None else jnp.zeros((B,), jnp.int32)
 
     def proj(h, wl, ll, name):
         """x @ W plus optional low-rank delta scale * (x @ A) @ B."""
-        y = h @ wl[name]
+        y = matmul_maybe_quant(h, wl[name])
         if ll is not None and name in ll:
             a, b = ll[name]["a"], ll[name]["b"]
             y = y + lora_scale * ((h @ a) @ b).astype(y.dtype)
@@ -224,8 +225,9 @@ def llama_forward(
     x = rmsnorm(x, params["ln_f"], cfg.rms_eps)
     head = params.get("lm_head")
     if head is None:
-        head = params["embed"].T
-    logits = (x @ head).astype(jnp.float32)
+        logits = tied_lm_head_logits(x, params["embed"])
+    else:
+        logits = matmul_maybe_quant(x, head).astype(jnp.float32)
 
     new_cache = None
     if cache is not None:
@@ -275,7 +277,9 @@ def llama_decode_step(
     B = tokens.shape[0]
     S = cache["k"].shape[3]
     inv_freqs = rope_inv_freqs(cfg)
-    x = jnp.take(params["embed"], tokens[:, None], axis=0)  # (B, 1, D)
+    x = embed_lookup(
+        params["embed"], tokens[:, None], dtype=params["ln_f"].dtype
+    )  # (B, 1, D)
     positions = lengths[:, None]
     G = cfg.num_heads // cfg.num_kv_heads
 
@@ -289,9 +293,9 @@ def llama_decode_step(
         x = carry
         wl, k_cache, v_cache = inputs
         h = rmsnorm(x, wl["ln1"], cfg.rms_eps)
-        q = _split_heads(h @ wl["wq"], cfg.num_heads, cfg.head_dim)
-        k = _split_heads(h @ wl["wk"], cfg.num_kv_heads, cfg.head_dim)
-        v = _split_heads(h @ wl["wv"], cfg.num_kv_heads, cfg.head_dim)
+        q = _split_heads(matmul_maybe_quant(h, wl["wq"]), cfg.num_heads, cfg.head_dim)
+        k = _split_heads(matmul_maybe_quant(h, wl["wk"]), cfg.num_kv_heads, cfg.head_dim)
+        v = _split_heads(matmul_maybe_quant(h, wl["wv"]), cfg.num_kv_heads, cfg.head_dim)
         q = apply_rope(q, positions, inv_freqs)
         k = apply_rope(k, positions, inv_freqs)
 
@@ -322,17 +326,22 @@ def llama_decode_step(
                 "bkgs,bksd->bkgd", probs.astype(v_cache.dtype), v_cache,
                 preferred_element_type=jnp.float32,
             ).reshape(B, 1, cfg.num_heads * cfg.head_dim).astype(x.dtype)
-        x = x + attn @ wl["wo"]
+        x = x + matmul_maybe_quant(attn, wl["wo"])
         h = rmsnorm(x, wl["ln2"], cfg.rms_eps)
-        x = x + (jax.nn.silu(h @ wl["wg"]) * (h @ wl["wu"])) @ wl["wd"]
+        x = x + matmul_maybe_quant(
+            jax.nn.silu(matmul_maybe_quant(h, wl["wg"]))
+            * matmul_maybe_quant(h, wl["wu"]),
+            wl["wd"],
+        )
         return x, (k_cache, v_cache)
 
     x, (new_k, new_v) = lax.scan(layer, x, (lp, cache["k"], cache["v"]))
     x = rmsnorm(x[:, 0], params["ln_f"], cfg.rms_eps)
     head = params.get("lm_head")
     if head is None:
-        head = params["embed"].T
-    logits = (x @ head).astype(jnp.float32)
+        logits = tied_lm_head_logits(x, params["embed"])
+    else:
+        logits = matmul_maybe_quant(x, head).astype(jnp.float32)
     if active is not None:
         logits = jnp.where(active[:, None], logits, 0.0)
     return logits, {"k": new_k, "v": new_v}

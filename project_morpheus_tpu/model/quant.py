@@ -1,0 +1,92 @@
+"""Int8 weight-only quantization for serving.
+
+Replaces the reference's GGUF/bitsandbytes quantized-inference options
+(SURVEY.md §2.3: llama.cpp GGUF quants, one_click.py bitsandbytes) the
+TPU way: symmetric per-output-channel int8 with fp scales, stored so XLA
+reads int8 from HBM and fuses the dequant into the matmul — decode-step
+weight traffic halves versus bf16.
+
+A quantized weight is the dict leaf ``{"q": int8 (in, out), "scale":
+f32 (out,)}``; ``matmul_maybe_quant`` dispatches on leaf shape so the same
+forward code serves both representations.
+"""
+from __future__ import annotations
+
+from typing import Dict, Union
+
+import jax
+import jax.numpy as jnp
+
+QLeaf = Dict[str, jnp.ndarray]
+Weight = Union[jnp.ndarray, QLeaf]
+
+_QUANT_KEYS = ("wq", "wk", "wv", "wo", "wg", "wu", "wd")
+
+
+def is_quantized(w: Weight) -> bool:
+    return isinstance(w, dict) and "q" in w
+
+
+def quantize_weight(w: jnp.ndarray, axis: int = -2) -> QLeaf:
+    """Symmetric per-output-channel int8 over the contraction axis.
+
+    For a (.., in, out) weight the scale is per ``out`` column.
+    """
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return {"q": q, "scale": jnp.squeeze(scale, axis=axis)}
+
+
+def dequantize_weight(leaf: QLeaf, dtype=jnp.bfloat16, axis: int = -2) -> jnp.ndarray:
+    scale = jnp.expand_dims(leaf["scale"], axis)
+    return (leaf["q"].astype(jnp.float32) * scale).astype(dtype)
+
+
+def matmul_maybe_quant(h: jnp.ndarray, w: Weight) -> jnp.ndarray:
+    """``h @ w`` supporting plain and int8 leaves (dequant fused by XLA)."""
+    if not is_quantized(w):
+        return h @ w
+    y = h @ w["q"].astype(h.dtype)
+    return y * w["scale"].astype(y.dtype)
+
+
+def quantize_params_int8(params: Dict) -> Dict:
+    """Quantize the projection matrices, embedding, and lm_head.
+
+    Norm scales stay bf16 (tiny); the embedding is quantized per row so the
+    tied lm_head (x @ embed.T) dequantizes per logit column.
+    """
+    out = dict(params)
+    layers = dict(params["layers"])
+    for key in _QUANT_KEYS:
+        layers[key] = quantize_weight(params["layers"][key], axis=-2)
+    out["layers"] = layers
+    embed = params["embed"].astype(jnp.float32)  # (V, D): per-row scale
+    amax = jnp.max(jnp.abs(embed), axis=1, keepdims=True)
+    scale = jnp.maximum(amax / 127.0, 1e-12)
+    out["embed"] = {
+        "q": jnp.clip(jnp.round(embed / scale), -127, 127).astype(jnp.int8),
+        "scale": scale[:, 0],
+    }
+    if "lm_head" in params:
+        out["lm_head"] = quantize_weight(params["lm_head"], axis=-2)
+    return out
+
+
+def embed_lookup(embed: Weight, tokens: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Token embedding lookup for plain or quantized tables."""
+    if not is_quantized(embed):
+        return jnp.take(embed, tokens, axis=0)
+    rows = jnp.take(embed["q"], tokens, axis=0).astype(jnp.float32)
+    scales = jnp.take(embed["scale"], tokens, axis=0)[..., None]
+    return (rows * scales).astype(dtype)
+
+
+def tied_lm_head_logits(x: jnp.ndarray, embed: Weight) -> jnp.ndarray:
+    """``x @ embed.T`` for plain or quantized embedding tables."""
+    if not is_quantized(embed):
+        return (x @ embed.T).astype(jnp.float32)
+    y = x @ embed["q"].T.astype(x.dtype)
+    return y.astype(jnp.float32) * embed["scale"]  # broadcast over last axis
