@@ -99,7 +99,39 @@ def main() -> None:
     step_time = min(step_time_bf16, step_time_int8)
     params_for_prefill = qparams if step_time_int8 <= step_time_bf16 else params
 
-    # --- SNAC hop decode: chain via token dependency ---
+    # --- frame dispatch: 7 tokens per sync (the actual serving cadence) ---
+    from project_morpheus_tpu.engine.engine import _decode_multi
+
+    best_params = params_for_prefill
+    d["active"] = jnp.ones((B,), jnp.bool_)
+
+    def time_multi(state):
+        nonlocal_best = float("inf")
+        state, toks = _decode_multi(
+            best_params, state, k, cfg=cfg, attn_impl=attn_impl,
+            n_steps=7, stop_ids=(128258,),
+        )
+        np.asarray(toks)
+        for _trial in range(2):
+            t0 = time.perf_counter()
+            for _ in range(max(iters // 4, 3)):
+                state, toks = _decode_multi(
+                    best_params, state, k, cfg=cfg, attn_impl=attn_impl,
+                    n_steps=7, stop_ids=(128258,),
+                )
+                state["active"] = jnp.ones((B,), jnp.bool_)
+            np.asarray(toks)
+            nonlocal_best = min(
+                nonlocal_best,
+                (time.perf_counter() - t0) / max(iters // 4, 3),
+            )
+        return nonlocal_best, state
+
+    frame_time, d = time_multi(d)
+
+    # --- SNAC hop decode: single-stream and batched across all slots ---
+    from project_morpheus_tpu.codec.streaming import decode_windows_batched
+
     snac_params = init_snac_params(snac_cfg, seed=0)
     window = jnp.zeros((49,), jnp.int32)
 
@@ -119,11 +151,32 @@ def main() -> None:
     np.asarray(pcm)
     hop_time = (time.perf_counter() - t0) / iters
 
-    # per decode step each of B slots advances 1 token; B/7 hops per step
-    hops_per_step = B / 7.0
-    total_per_step = step_time + hops_per_step * hop_time
-    rtf_batch = B * AUDIO_S_PER_TOKEN / total_per_step
-    tokens_per_s = B / total_per_step
+    windows = jnp.zeros((B, 49), jnp.int32)
+
+    def bhop(windows):
+        pcm = decode_windows_batched(
+            snac_params, windows, cfg=snac_cfg,
+            emit_lo=4 * snac_cfg.frame_samples, emit_hi=5 * snac_cfg.frame_samples,
+        )
+        return (windows + pcm[:, :49].astype(jnp.int32) % 2) % 4096, pcm
+
+    windows, bpcm = bhop(windows)
+    np.asarray(bpcm)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        windows, bpcm = bhop(windows)
+    np.asarray(bpcm)
+    bhop_time = (time.perf_counter() - t0) / iters
+
+    # serving cadence: one frame dispatch (7 tokens x B slots) + one batched
+    # hop decode (B windows) per 7-token frame
+    audio_per_frame = B * 7 * AUDIO_S_PER_TOKEN
+    total_per_frame = frame_time + bhop_time
+    rtf_batch = audio_per_frame / total_per_frame
+    tokens_per_s = B * 7 / total_per_frame
+
+    # legacy single-step accounting kept for comparison
+    rtf_single = B * AUDIO_S_PER_TOKEN / (step_time + (B / 7.0) * hop_time)
 
     # --- TTFA estimate: prefill(64-token prompt) + 7 steps + first hop ---
     samp = jnp.asarray([0.6, 0.9, 1.1], jnp.float32)
@@ -139,7 +192,7 @@ def main() -> None:
     )
     np.asarray(first)
     prefill_time = time.perf_counter() - t0
-    ttfa_ms = (prefill_time + 7 * step_time + hop_time) * 1000.0
+    ttfa_ms = (prefill_time + frame_time + hop_time) * 1000.0
 
     result = {
         "metric": "audio_s_per_s_per_chip_batch8",
@@ -151,7 +204,10 @@ def main() -> None:
         "decode_step_ms": round(step_time * 1000, 3),
         "decode_step_ms_bf16": round(step_time_bf16 * 1000, 3),
         "decode_step_ms_int8": round(step_time_int8 * 1000, 3),
+        "frame7_dispatch_ms": round(frame_time * 1000, 3),
         "snac_hop_ms": round(hop_time * 1000, 3),
+        "snac_hop_batched_ms": round(bhop_time * 1000, 3),
+        "rtf_single_step_accounting": round(rtf_single, 3),
         "prefill64_ms": round(prefill_time * 1000, 3),
         "tokens_per_s_batch8": round(tokens_per_s, 1),
         "est_ttfa_ms": round(ttfa_ms, 1),

@@ -55,15 +55,28 @@ class LocalJaxAdapter:
         return [self.prompt]
 
     async def _produce(self) -> None:
-        """Feed the byte buffer from engine token streams."""
+        """Feed the byte buffer from the engine.
+
+        Prefers engine audio mode (one batched SNAC dispatch per frame
+        across all co-batched slots); falls back to per-stream token decode
+        for engines without a codec (e.g. the mock backend)."""
         runtime = await get_runtime().ensure()
-        decoder = StreamingSnacDecoder(
-            runtime.snac_params, runtime.snac_cfg, mode=self.decoder_mode
-        )
+        engine_audio = getattr(runtime.engine, "supports_audio", False)
         tokenizer = default_tokenizer()
         try:
             for text in self._texts():
                 prompt_ids = format_prompt_ids(text, self.voice, tokenizer)
+                if engine_audio and self.decoder_mode == "native":
+                    req = await runtime.engine.submit(
+                        prompt_ids, self.sampling, audio=True
+                    )
+                    self._requests.append(req)
+                    async for pcm in req.pcm_chunks():
+                        self._buffer.extend(pcm)
+                    continue
+                decoder = StreamingSnacDecoder(
+                    runtime.snac_params, runtime.snac_cfg, mode=self.decoder_mode
+                )
                 req = await runtime.engine.submit(prompt_ids, self.sampling)
                 self._requests.append(req)
                 audio_pos = 0

@@ -145,7 +145,9 @@ class ServingRuntime:
             max_slots=int(os.environ.get("ORPHEUS_MAX_SLOTS", "8")),
             max_seq_len=int(os.environ.get("ORPHEUS_MAX_SEQ", "2048")),
         )
-        self.engine = OrpheusEngine(params, cfg, ecfg)
+        self.engine = OrpheusEngine(
+            params, cfg, ecfg, codec=(self.snac_params, self.snac_cfg)
+        )
 
     async def reset(self) -> None:
         """Drop the runtime (config hot-swap path)."""

@@ -61,6 +61,25 @@ def _decode_window_slice(
     return _to_int16(audio[0, emit_lo:emit_hi])
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "emit_lo", "emit_hi"))
+def decode_windows_batched(
+    params,
+    windows: jnp.ndarray,  # (B, n_frames * 7) int32 codebook entries
+    *,
+    cfg: SNACConfig,
+    emit_lo: int,
+    emit_hi: int,
+) -> jnp.ndarray:
+    """Decode many streams' windows in ONE dispatch -> (B, hop) int16.
+
+    The serving engine advances all slots one frame per sync; batching the
+    hop decode across slots amortises dispatch overhead and fills the MXU.
+    """
+    c0, c1, c2 = tokens_to_codes(windows)
+    audio = snac_decode(params, (c0, c1, c2), cfg, noise_rng=None)
+    return _to_int16(audio[:, emit_lo:emit_hi])
+
+
 class StreamingSnacDecoder:
     """Push audio codes in, get fixed-size PCM16 hops out."""
 
@@ -147,24 +166,57 @@ class StreamingSnacDecoder:
         self._emitted_frames += 1
         return hop
 
-    def _emit_native(self, e: int, k: int) -> np.ndarray:
-        """Decode a static 7-frame window around frame ``e`` and emit it.
-
-        Window covers frame indices [e-4 .. e+2] with edge replication, so
-        frame ``e`` sits at slot 4 -> samples [4*hop : 5*hop].
-        """
+    def _window_for(self, e: int, k: int) -> np.ndarray:
+        """Static 7-frame window [e-4 .. e+2] (edge-replicated) for frame e,
+        which sits at slot 4 -> samples [4*hop : 5*hop]."""
         frames = self._frames()
         idx = np.clip(np.arange(e - 4, e + 3), 0, k - 1)
-        window = frames[idx].reshape(-1)
+        return frames[idx].reshape(-1)
+
+    def _emit_native(self, e: int, k: int) -> np.ndarray:
         pcm = _decode_window_slice(
             self.params,
-            jnp.asarray(window),
+            jnp.asarray(self._window_for(e, k)),
             cfg=self.cfg,
             n_frames=self.window_frames,
             emit_lo=4 * self.hop,
             emit_hi=5 * self.hop,
         )
         return np.asarray(pcm)
+
+    # --------------------------------------------------- batched planning
+
+    def plan_push(self, codes: Sequence[int]) -> List[np.ndarray]:
+        """Like push_tokens, but return decode *windows* instead of PCM.
+
+        The caller batches windows from many streams into one
+        ``decode_windows_batched`` dispatch (native mode only).
+        """
+        assert self.mode == "native"
+        windows: List[np.ndarray] = []
+        for code in codes:
+            self._buffer.append(int(code))
+            if len(self._buffer) % FRAME_TOKENS == 0:
+                k = self.frames_buffered
+                e = self._emitted_frames
+                ready = (e == 0 and k >= 1) or (k >= e + 1 + self.lookahead)
+                if ready:
+                    windows.append(self._window_for(e, k))
+                    self._emitted_frames += 1
+        return windows
+
+    def plan_flush(self) -> List[np.ndarray]:
+        """Windows for the EOS drain (replicate-padded tail)."""
+        assert self.mode == "native"
+        if self._buffer and len(self._buffer) % FRAME_TOKENS != 0:
+            pad = FRAME_TOKENS - len(self._buffer) % FRAME_TOKENS
+            self._buffer.extend([self._buffer[-1]] * pad)
+        k = self.frames_buffered
+        windows = []
+        while self._emitted_frames < k:
+            windows.append(self._window_for(self._emitted_frames, k))
+            self._emitted_frames += 1
+        return windows
 
     # -------------------------------------------------------- parity mode
 

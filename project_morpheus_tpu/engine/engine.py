@@ -222,10 +222,12 @@ class OrpheusEngine:
         model_cfg: LlamaConfig,
         engine_cfg: Optional[EngineConfig] = None,
         *,
+        codec: Optional[tuple] = None,  # (snac_params, SNACConfig): audio mode
         seed: int = 0,
     ) -> None:
         self.params = params
         self.cfg = model_cfg
+        self._codec = codec
         self.ecfg = engine_cfg or EngineConfig()
         B = self.ecfg.max_slots
         Vp = model_cfg.padded_vocab
@@ -257,10 +259,27 @@ class OrpheusEngine:
 
     # ------------------------------------------------------------------ api
 
+    @property
+    def supports_audio(self) -> bool:
+        return self._codec is not None
+
     async def submit(
-        self, prompt_ids: Sequence[int], sampling: Optional[SamplingParams] = None
+        self,
+        prompt_ids: Sequence[int],
+        sampling: Optional[SamplingParams] = None,
+        *,
+        audio: bool = False,
     ) -> Request:
         req = Request(list(prompt_ids), (sampling or SamplingParams()).clipped())
+        if audio:
+            if not self.supports_audio:
+                raise ValueError("engine built without a codec; audio mode off")
+            from ..codec.streaming import StreamingSnacDecoder
+
+            req.audio = True
+            req.planner = StreamingSnacDecoder(
+                self._codec[0], self._codec[1], mode="native"
+            )
         await self._pending.put(req)
         self._wake.set()
         self._ensure_running()
@@ -274,6 +293,8 @@ class OrpheusEngine:
         if req.slot is not None:
             self._evict(req.slot)
         req.token_queue.put_nowait(None)
+        if req.audio:
+            req.pcm_queue.put_nowait(None)
 
     async def close(self) -> None:
         self._closed = True
@@ -401,11 +422,57 @@ class OrpheusEngine:
                 )
                 toks_host = np.asarray(jax.device_get(toks))[None, :]
             self.steps += toks_host.shape[0]
+            pending_windows: List[tuple] = []  # (req, window np.ndarray)
+            finished_audio: List[Request] = []
             for step_row in toks_host:
                 for slot, req in list(self._by_slot.items()):
-                    if req.state is RequestState.DECODING:
-                        token = int(step_row[slot])
-                        if token >= 0:
-                            self._deliver(req, token)
+                    if req.state is not RequestState.DECODING:
+                        continue
+                    token = int(step_row[slot])
+                    if token < 0:
+                        continue
+                    self._deliver(req, token)
+                    if req.audio:
+                        from ..adapters.runtime import audio_code_from_token_id
+
+                        # stop/special ids fall outside the audio band -> None
+                        code = audio_code_from_token_id(token, req.audio_pos)
+                        if code is not None:
+                            req.audio_pos += 1
+                            for w in req.planner.plan_push([code]):
+                                pending_windows.append((req, w))
+                        if req.done:
+                            for w in req.planner.plan_flush():
+                                pending_windows.append((req, w))
+                            finished_audio.append(req)
+            if pending_windows:
+                self._decode_audio_windows(pending_windows)
+            for req in finished_audio:
+                req.pcm_queue.put_nowait(None)
             # let other coroutines (HTTP handlers, codec) run
             await asyncio.sleep(0)
+
+    def _decode_audio_windows(self, pending: List[tuple]) -> None:
+        """One batched SNAC dispatch per group of pending hop windows."""
+        from ..codec.streaming import decode_windows_batched
+
+        snac_params, snac_cfg = self._codec
+        B = self.ecfg.max_slots
+        emit_lo = 4 * snac_cfg.frame_samples
+        emit_hi = 5 * snac_cfg.frame_samples
+        for i in range(0, len(pending), B):
+            group = pending[i : i + B]
+            arr = np.zeros((B, 49), np.int32)
+            for j, (_, w) in enumerate(group):
+                arr[j] = w
+            pcm = np.asarray(
+                decode_windows_batched(
+                    snac_params,
+                    jnp.asarray(arr),
+                    cfg=snac_cfg,
+                    emit_lo=emit_lo,
+                    emit_hi=emit_hi,
+                )
+            )
+            for j, (req, _) in enumerate(group):
+                req.pcm_queue.put_nowait(pcm[j].tobytes())

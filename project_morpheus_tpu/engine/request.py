@@ -35,6 +35,13 @@ class Request:
     token_queue: "asyncio.Queue[Optional[int]]" = field(
         default_factory=asyncio.Queue
     )
+    # audio mode (engine-side batched SNAC decode): PCM16 byte hops
+    audio: bool = False
+    audio_pos: int = 0
+    planner: Optional[object] = None  # StreamingSnacDecoder used for planning
+    pcm_queue: "asyncio.Queue[Optional[bytes]]" = field(
+        default_factory=asyncio.Queue
+    )
 
     async def tokens(self) -> AsyncGenerator[int, None]:
         """Async stream of generated token ids (None sentinel = EOS)."""
@@ -43,6 +50,14 @@ class Request:
             if tok is None:
                 return
             yield tok
+
+    async def pcm_chunks(self) -> AsyncGenerator[bytes, None]:
+        """Async stream of PCM16 hops (audio mode only)."""
+        while True:
+            chunk = await self.pcm_queue.get()
+            if chunk is None:
+                return
+            yield chunk
 
     @property
     def done(self) -> bool:

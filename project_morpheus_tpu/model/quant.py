@@ -27,16 +27,30 @@ def is_quantized(w: Weight) -> bool:
     return isinstance(w, dict) and "q" in w
 
 
+def _quant_2d(w: jnp.ndarray) -> QLeaf:
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=0, keepdims=True)
+    scale = jnp.maximum(amax / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return {"q": q, "scale": scale[0]}
+
+
 def quantize_weight(w: jnp.ndarray, axis: int = -2) -> QLeaf:
     """Symmetric per-output-channel int8 over the contraction axis.
 
-    For a (.., in, out) weight the scale is per ``out`` column.
+    For a (.., in, out) weight the scale is per ``out`` column.  Stacked
+    (layers, in, out) weights are quantized one layer slice at a time so the
+    fp32 temporaries stay ~100 MB instead of multi-GB (3B weights live on a
+    16 GB chip next to the KV cache).
     """
-    wf = w.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(wf), axis=axis, keepdims=True)
-    scale = jnp.maximum(amax / 127.0, 1e-12)
-    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
-    return {"q": q, "scale": jnp.squeeze(scale, axis=axis)}
+    if w.ndim == 3:
+        parts = [_quant_2d(w[i]) for i in range(w.shape[0])]
+        return {
+            "q": jnp.stack([p["q"] for p in parts]),
+            "scale": jnp.stack([p["scale"] for p in parts]),
+        }
+    assert axis in (-2, w.ndim - 2)
+    return _quant_2d(w)
 
 
 def dequantize_weight(leaf: QLeaf, dtype=jnp.bfloat16, axis: int = -2) -> jnp.ndarray:
@@ -63,12 +77,21 @@ def quantize_params_int8(params: Dict) -> Dict:
     for key in _QUANT_KEYS:
         layers[key] = quantize_weight(params["layers"][key], axis=-2)
     out["layers"] = layers
-    embed = params["embed"].astype(jnp.float32)  # (V, D): per-row scale
-    amax = jnp.max(jnp.abs(embed), axis=1, keepdims=True)
-    scale = jnp.maximum(amax / 127.0, 1e-12)
+    # embedding: per-row scale, chunked over vocab rows to bound temporaries
+    embed = params["embed"]
+    chunks = []
+    scales = []
+    n = embed.shape[0]
+    step = max(1, n // 8)
+    for lo in range(0, n, step):
+        part = embed[lo : lo + step].astype(jnp.float32)
+        amax = jnp.max(jnp.abs(part), axis=1, keepdims=True)
+        scale = jnp.maximum(amax / 127.0, 1e-12)
+        chunks.append(jnp.clip(jnp.round(part / scale), -127, 127).astype(jnp.int8))
+        scales.append(scale[:, 0])
     out["embed"] = {
-        "q": jnp.clip(jnp.round(embed / scale), -127, 127).astype(jnp.int8),
-        "scale": scale[:, 0],
+        "q": jnp.concatenate(chunks, axis=0),
+        "scale": jnp.concatenate(scales, axis=0),
     }
     if "lm_head" in params:
         out["lm_head"] = quantize_weight(params["lm_head"], axis=-2)
