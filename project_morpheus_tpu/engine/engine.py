@@ -43,9 +43,14 @@ class EngineConfig:
     max_slots: int = 8
     max_seq_len: int = 2048
     prefill_buckets: Tuple[int, ...] = (32, 64, 128, 256, 512, 1024)
+    # context buckets for the decode step: attention reads only the bucket
+    # prefix of the KV cache, so HBM traffic follows the longest LIVE
+    # context instead of allocated capacity (DECISIONS r1-011)
+    context_buckets: Tuple[int, ...] = (256, 512, 1024, 2048)
     cache_dtype: str = "bfloat16"
-    attn_impl: str = "auto"  # auto -> pallas on TPU, dense elsewhere
+    attn_impl: str = "auto"  # auto -> dense bucketed einsum (fastest measured)
     steps_per_sync: int = 0  # 0/auto -> 7 on TPU (one SNAC frame), 1 elsewhere
+    pipeline_depth: int = 1  # frames in flight beyond the one being processed
     default_stop_ids: Tuple[int, ...] = (
         ORPHEUS_SPECIAL_TOKENS["end_of_speech"],
         ORPHEUS_SPECIAL_TOKENS["end_of_text"],
@@ -117,7 +122,8 @@ def _prefill(
     return dstate, first
 
 
-def _decode_core(params, dstate, key, cfg: LlamaConfig, attn_impl: str):
+def _decode_core(params, dstate, key, cfg: LlamaConfig, attn_impl: str,
+                 bucket: Optional[int] = None):
     """One decode+sample step over the slot table (shared by both jits)."""
     active = dstate["active"]
     logits, cache = llama_decode_step(
@@ -128,6 +134,7 @@ def _decode_core(params, dstate, key, cfg: LlamaConfig, attn_impl: str):
         dstate["lengths"],
         active=active,
         attn_impl=attn_impl,
+        bucket=bucket,
     )
     toks = sample_logits(
         logits,
@@ -155,16 +162,17 @@ def _decode_core(params, dstate, key, cfg: LlamaConfig, attn_impl: str):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "attn_impl"), donate_argnums=(1,)
+    jax.jit, static_argnames=("cfg", "attn_impl", "bucket"), donate_argnums=(1,)
 )
-def _decode(params, dstate, key, *, cfg: LlamaConfig, attn_impl: str = "dense"):
+def _decode(params, dstate, key, *, cfg: LlamaConfig, attn_impl: str = "dense",
+            bucket: Optional[int] = None):
     """Advance every active slot by one token."""
-    return _decode_core(params, dstate, key, cfg, attn_impl)
+    return _decode_core(params, dstate, key, cfg, attn_impl, bucket)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "attn_impl", "n_steps", "stop_ids"),
+    static_argnames=("cfg", "attn_impl", "n_steps", "stop_ids", "bucket"),
     donate_argnums=(1,),
 )
 def _decode_multi(
@@ -176,6 +184,7 @@ def _decode_multi(
     attn_impl: str,
     n_steps: int,
     stop_ids: Tuple[int, ...],
+    bucket: Optional[int] = None,
 ):
     """Advance all slots by up to ``n_steps`` tokens in ONE dispatch.
 
@@ -186,7 +195,7 @@ def _decode_multi(
     """
 
     def body(dstate, k):
-        dstate, toks = _decode_core(params, dstate, k, cfg, attn_impl)
+        dstate, toks = _decode_core(params, dstate, k, cfg, attn_impl, bucket)
         is_stop = jnp.zeros(toks.shape, bool)
         for s in stop_ids:
             is_stop = is_stop | (toks == s)
@@ -225,7 +234,11 @@ class OrpheusEngine:
         codec: Optional[tuple] = None,  # (snac_params, SNACConfig): audio mode
         seed: int = 0,
     ) -> None:
-        self.params = params
+        from ..model.quant import fuse_layer_weights
+
+        # serving-time projection fusion (wqkv / wgu): fewer, larger MXU
+        # dispatches per layer; numerically identical (quant.py docstring)
+        self.params = fuse_layer_weights(params)
         self.cfg = model_cfg
         self._codec = codec
         self.ecfg = engine_cfg or EngineConfig()
@@ -245,7 +258,10 @@ class OrpheusEngine:
         self._key = jax.random.key(seed)
         self.attn_impl = self.ecfg.attn_impl
         if self.attn_impl == "auto":
-            self.attn_impl = "pallas" if jax.default_backend() == "tpu" else "dense"
+            # dense bucketed einsum beats the per-layer pallas kernel for
+            # single-token decode (no 28x kernel-launch overhead); pallas
+            # stays available for A/B via attn_impl="pallas"
+            self.attn_impl = "dense"
         self.steps_per_sync = self.ecfg.steps_per_sync
         if self.steps_per_sync <= 0:
             self.steps_per_sync = 7 if jax.default_backend() == "tpu" else 1
@@ -334,6 +350,7 @@ class OrpheusEngine:
         self._by_slot[slot] = req
 
         ids = req.prompt_ids[-self.ecfg.max_seq_len // 2 :]
+        req.ctx_len = len(ids)
         bucket = _bucket_for(len(ids), self.ecfg.prefill_buckets)
         padded = np.zeros((1, bucket), np.int32)
         padded[0, : len(ids)] = ids
@@ -375,7 +392,99 @@ class OrpheusEngine:
                 self._evict(req.slot)
             req.token_queue.put_nowait(None)
 
+    def _context_bucket(self, n_steps: int) -> Optional[int]:
+        """Smallest configured bucket covering every live context through
+        the end of the next ``n_steps``-token dispatch."""
+        if not self._by_slot:
+            return None
+        # host-side counts lag the device by the in-flight frames, so cover
+        # the pipeline depth too
+        need = (
+            max(r.ctx_len + r.generated for r in self._by_slot.values())
+            + n_steps * (1 + max(self.ecfg.pipeline_depth, 0))
+            + 1
+        )
+        for b in sorted(self.ecfg.context_buckets):
+            if b >= need and b <= self.ecfg.max_seq_len:
+                return b
+        return None  # full allocated context
+
+    def _dispatch_frame(self):
+        """Issue one decode dispatch; returns (device toks, slot snapshot)."""
+        n = self.steps_per_sync
+        if n > 1:
+            # device-side early stop uses the engine-wide default ids only
+            # (static -> one compiled program); per-request custom stop ids
+            # are still honoured on the host in _deliver, at worst
+            # steps_per_sync-1 wasted tokens for that slot.
+            stop_ids = tuple(sorted(self.ecfg.default_stop_ids))
+            self.dstate, toks = _decode_multi(
+                self.params,
+                self.dstate,
+                self._split_key(),
+                cfg=self.cfg,
+                attn_impl=self.attn_impl,
+                n_steps=n,
+                stop_ids=stop_ids,
+                bucket=self._context_bucket(n),
+            )
+        else:
+            self.dstate, toks = _decode(
+                self.params,
+                self.dstate,
+                self._split_key(),
+                cfg=self.cfg,
+                attn_impl=self.attn_impl,
+                bucket=self._context_bucket(1),
+            )
+        return toks, dict(self._by_slot)
+
+    def _process_frame(self, toks, slot_map: Dict[int, Request]) -> None:
+        """Readback + token routing for one completed frame dispatch.
+
+        ``slot_map`` is the slot->request snapshot taken at dispatch time:
+        a slot freed and re-admitted while this frame was in flight must
+        not leak the old request's tail tokens into the new one.
+        """
+        toks_host = np.asarray(jax.device_get(toks))
+        if toks_host.ndim == 1:
+            toks_host = toks_host[None, :]
+        self.steps += toks_host.shape[0]
+        pending_windows: List[tuple] = []  # (req, window np.ndarray)
+        finished_audio: List[Request] = []
+        for step_row in toks_host:
+            for slot, req in slot_map.items():
+                if req.state is not RequestState.DECODING:
+                    continue
+                if self._by_slot.get(slot) is not req:
+                    continue  # slot re-assigned mid-flight
+                token = int(step_row[slot])
+                if token < 0:
+                    continue
+                self._deliver(req, token)
+                if req.audio:
+                    from ..adapters.runtime import audio_code_from_token_id
+
+                    # stop/special ids fall outside the audio band -> None
+                    code = audio_code_from_token_id(token, req.audio_pos)
+                    if code is not None:
+                        req.audio_pos += 1
+                        for w in req.planner.plan_push([code]):
+                            pending_windows.append((req, w))
+                    if req.done:
+                        for w in req.planner.plan_flush():
+                            pending_windows.append((req, w))
+                        finished_audio.append(req)
+        if pending_windows:
+            self._decode_audio_windows(pending_windows)
+        for req in finished_audio:
+            req.pcm_queue.put_nowait(None)
+
     async def _run(self) -> None:
+        # software-pipelined serving loop: while frame N executes on device,
+        # the host reads back and routes frame N-1 (device_get overlaps with
+        # the in-flight dispatch), hiding host/tunnel latency entirely
+        inflight: Optional[tuple] = None  # (toks device array, slot snapshot)
         while not self._closed:
             # admission
             while self._free and not self._pending.empty():
@@ -385,6 +494,10 @@ class OrpheusEngine:
                 self._admit(req)
 
             if not self._by_slot:
+                if inflight is not None:
+                    self._process_frame(*inflight)
+                    inflight = None
+                    continue
                 if self._pending.empty():
                     self._wake.clear()
                     try:
@@ -394,63 +507,18 @@ class OrpheusEngine:
                             break
                 continue
 
-            # advance all active slots; one dispatch covers steps_per_sync
-            # tokens (a full SNAC frame on TPU)
-            if self.steps_per_sync > 1:
-                # device-side early stop uses the engine-wide default ids
-                # only (static -> one compiled program); per-request custom
-                # stop ids are still honoured on the host in _deliver, at
-                # worst steps_per_sync-1 wasted tokens for that slot.
-                stop_ids = tuple(sorted(self.ecfg.default_stop_ids))
-                self.dstate, toks = _decode_multi(
-                    self.params,
-                    self.dstate,
-                    self._split_key(),
-                    cfg=self.cfg,
-                    attn_impl=self.attn_impl,
-                    n_steps=self.steps_per_sync,
-                    stop_ids=stop_ids,
-                )
-                toks_host = np.asarray(jax.device_get(toks))  # (n, B)
+            frame = self._dispatch_frame()
+            if inflight is not None:
+                self._process_frame(*inflight)
+            if self.ecfg.pipeline_depth <= 0:
+                self._process_frame(*frame)
+                inflight = None
             else:
-                self.dstate, toks = _decode(
-                    self.params,
-                    self.dstate,
-                    self._split_key(),
-                    cfg=self.cfg,
-                    attn_impl=self.attn_impl,
-                )
-                toks_host = np.asarray(jax.device_get(toks))[None, :]
-            self.steps += toks_host.shape[0]
-            pending_windows: List[tuple] = []  # (req, window np.ndarray)
-            finished_audio: List[Request] = []
-            for step_row in toks_host:
-                for slot, req in list(self._by_slot.items()):
-                    if req.state is not RequestState.DECODING:
-                        continue
-                    token = int(step_row[slot])
-                    if token < 0:
-                        continue
-                    self._deliver(req, token)
-                    if req.audio:
-                        from ..adapters.runtime import audio_code_from_token_id
-
-                        # stop/special ids fall outside the audio band -> None
-                        code = audio_code_from_token_id(token, req.audio_pos)
-                        if code is not None:
-                            req.audio_pos += 1
-                            for w in req.planner.plan_push([code]):
-                                pending_windows.append((req, w))
-                        if req.done:
-                            for w in req.planner.plan_flush():
-                                pending_windows.append((req, w))
-                            finished_audio.append(req)
-            if pending_windows:
-                self._decode_audio_windows(pending_windows)
-            for req in finished_audio:
-                req.pcm_queue.put_nowait(None)
+                inflight = frame
             # let other coroutines (HTTP handlers, codec) run
             await asyncio.sleep(0)
+        if inflight is not None:
+            self._process_frame(*inflight)
 
     def _decode_audio_windows(self, pending: List[tuple]) -> None:
         """One batched SNAC dispatch per group of pending hop windows."""

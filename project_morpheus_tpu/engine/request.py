@@ -30,6 +30,7 @@ class Request:
     state: RequestState = RequestState.QUEUED
     slot: Optional[int] = None
     generated: int = 0
+    ctx_len: int = 0  # prompt tokens actually written at prefill (clamped)
     # Unbounded: the device never blocks on a slow consumer; backpressure
     # is applied by the orchestrator's pull loop instead.
     token_queue: "asyncio.Queue[Optional[int]]" = field(

@@ -199,9 +199,12 @@ def llama_forward(
     def layer(x, scanned):
         wl, ll = scanned if lora is not None else (scanned, None)
         h = rmsnorm(x, wl["ln1"], cfg.rms_eps)
-        q = _split_heads(proj(h, wl, ll, "wq"), cfg.num_heads, cfg.head_dim)
-        k = _split_heads(proj(h, wl, ll, "wk"), cfg.num_kv_heads, cfg.head_dim)
-        v = _split_heads(proj(h, wl, ll, "wv"), cfg.num_kv_heads, cfg.head_dim)
+        if ll is None:
+            q, k, v = _project_qkv(h, wl, cfg)  # fused-aware (serving)
+        else:
+            q = _split_heads(proj(h, wl, ll, "wq"), cfg.num_heads, cfg.head_dim)
+            k = _split_heads(proj(h, wl, ll, "wk"), cfg.num_kv_heads, cfg.head_dim)
+            v = _split_heads(proj(h, wl, ll, "wv"), cfg.num_kv_heads, cfg.head_dim)
         q = apply_rope(q, positions, inv_freqs)
         k = apply_rope(k, positions, inv_freqs)
         if attn_impl == "blockwise":
@@ -214,9 +217,13 @@ def llama_forward(
             attn = _attn_full(q, k, v, mask, cfg)
         x = x + proj(attn, wl, ll, "wo")
         h = rmsnorm(x, wl["ln2"], cfg.rms_eps)
-        x = x + proj(
-            jax.nn.silu(proj(h, wl, ll, "wg")) * proj(h, wl, ll, "wu"), wl, ll, "wd"
-        )
+        if ll is None:
+            x = x + _mlp(h, wl, cfg)
+        else:
+            x = x + proj(
+                jax.nn.silu(proj(h, wl, ll, "wg")) * proj(h, wl, ll, "wu"),
+                wl, ll, "wd",
+            )
         return x, (k, v)
 
     scan_in = (lp, lora["layers"]) if lora is not None else lp
@@ -232,14 +239,25 @@ def llama_forward(
     new_cache = None
     if cache is not None:
         ks, vs = kv  # (L, B, S, KV, HD)
-        # scatter each slot's sequence into its cache lane at its offset
-        pos_idx = write_off[:, None] + jnp.arange(S)[None, :]  # (B, S)
         lanes = cache_slots if cache_slots is not None else jnp.arange(B)
-        batch_idx = jnp.broadcast_to(lanes[:, None], (B, S))
-        new_cache = {
-            "k": _scatter_seq(cache["k"], ks, batch_idx, pos_idx),
-            "v": _scatter_seq(cache["v"], vs, batch_idx, pos_idx),
-        }
+        if B == 1:
+            # prefill fast path: one whole-stack dynamic_update_slice into
+            # the (donated) cache — in place, no gather/scatter machinery
+            kw = jnp.swapaxes(ks, 2, 3).astype(cache["k"].dtype)  # (L,1,KV,S,HD)
+            vw = jnp.swapaxes(vs, 2, 3).astype(cache["v"].dtype)
+            start = (0, lanes[0], 0, write_off[0], 0)
+            new_cache = {
+                "k": lax.dynamic_update_slice(cache["k"], kw, start),
+                "v": lax.dynamic_update_slice(cache["v"], vw, start),
+            }
+        else:
+            # scatter each slot's sequence into its cache lane at its offset
+            pos_idx = write_off[:, None] + jnp.arange(S)[None, :]  # (B, S)
+            batch_idx = jnp.broadcast_to(lanes[:, None], (B, S))
+            new_cache = {
+                "k": _scatter_seq(cache["k"], ks, batch_idx, pos_idx),
+                "v": _scatter_seq(cache["v"], vs, batch_idx, pos_idx),
+            }
     return logits, new_cache
 
 
@@ -257,6 +275,41 @@ def _scatter_seq(cache, kv, batch_idx, pos_idx):
     return jax.vmap(one_layer)(cache, kv)
 
 
+def _project_qkv(h, wl, cfg: LlamaConfig):
+    """Q/K/V projections, from a fused ``wqkv`` leaf when present.
+
+    Serving fuses wq|wk|wv into one matmul (``fuse_layer_weights``): one MXU
+    dispatch instead of three and fewer fusion boundaries — measured ~1.8 ms
+    off the 3B decode step on v5e.  Numerics are identical (per-output-column
+    int8 scales concatenate losslessly).
+    """
+    HD, KV, H = cfg.head_dim, cfg.num_kv_heads, cfg.num_heads
+    if "wqkv" in wl:
+        qkv = matmul_maybe_quant(h, wl["wqkv"])
+        nq = H * HD
+        q = _split_heads(qkv[..., :nq], H, HD)
+        k = _split_heads(qkv[..., nq : nq + KV * HD], KV, HD)
+        v = _split_heads(qkv[..., nq + KV * HD :], KV, HD)
+    else:
+        q = _split_heads(matmul_maybe_quant(h, wl["wq"]), H, HD)
+        k = _split_heads(matmul_maybe_quant(h, wl["wk"]), KV, HD)
+        v = _split_heads(matmul_maybe_quant(h, wl["wv"]), KV, HD)
+    return q, k, v
+
+
+def _mlp(h, wl, cfg: LlamaConfig):
+    """SwiGLU MLP, from a fused ``wgu`` leaf when present."""
+    if "wgu" in wl:
+        gu = matmul_maybe_quant(h, wl["wgu"])
+        F = cfg.intermediate_size
+        act = jax.nn.silu(gu[..., :F]) * gu[..., F:]
+    else:
+        act = jax.nn.silu(matmul_maybe_quant(h, wl["wg"])) * matmul_maybe_quant(
+            h, wl["wu"]
+        )
+    return matmul_maybe_quant(act, wl["wd"])
+
+
 def llama_decode_step(
     params: Params,
     tokens: jnp.ndarray,  # (B,) int32 — one new token per slot
@@ -265,7 +318,10 @@ def llama_decode_step(
     lengths: jnp.ndarray,  # (B,) current context length per slot
     *,
     active: Optional[jnp.ndarray] = None,  # (B,) bool; inactive slots skipped
-    attn_impl: str = "dense",  # "dense" (XLA einsum) | "pallas" (flash decode)
+    attn_impl: str = "dense",  # "dense" | "pallas" (kept for A/B benchmarks)
+    bucket: Optional[int] = None,  # static context bucket (<= max_seq); the
+    # attention only reads cache[:bucket] — callers guarantee all live
+    # lengths stay < bucket for the duration of the compiled program
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One autoregressive decode step for a batch of slots.
 
@@ -273,69 +329,90 @@ def llama_decode_step(
     positions ``<= lengths[b]``.  Returns fp32 logits ``(B, padded_vocab)``
     and the updated cache.  This is the per-token hot loop the reference
     delegates to llama.cpp (llama_local.py:79) — here one jitted XLA program.
+
+    TPU shape (DECISIONS r1-011): the full stacked KV cache rides the layer
+    loop as a **carry** so XLA keeps it in place (donated buffer, zero
+    copies); writes are per-slot ``dynamic_update_slice``; attention is a
+    dense einsum over a static ``bucket`` prefix of the cache so HBM traffic
+    scales with the live context, not allocated capacity.  The previous
+    scan-xs/ys structure round-tripped the full cache through HBM every
+    step (~3.8 GB at 8x2048) and measured 20.7 ms vs 6.9 ms for this one.
     """
     B = tokens.shape[0]
     S = cache["k"].shape[3]
+    KV, HD = cfg.num_kv_heads, cfg.head_dim
+    G = cfg.num_heads // KV
+    bkt = min(bucket or S, S)
     inv_freqs = rope_inv_freqs(cfg)
     x = embed_lookup(
         params["embed"], tokens[:, None], dtype=params["ln_f"].dtype
     )  # (B, 1, D)
     positions = lengths[:, None]
-    G = cfg.num_heads // cfg.num_kv_heads
 
-    key_pos = jnp.arange(S)[None, :]  # (1, S)
-    key_mask = key_pos <= lengths[:, None]  # (B, S) inclusive of new token
+    key_pos = jnp.arange(bkt)[None, :]  # (1, bkt)
+    key_mask = key_pos <= lengths[:, None]  # (B, bkt) inclusive of new token
 
     lp = params["layers"]
-    batch_idx = jnp.arange(B)
 
-    def layer(carry, inputs):
-        x = carry
-        wl, k_cache, v_cache = inputs
+    def layer_body(i, carry):
+        x, k_cache, v_cache = carry
+        wl = jax.tree.map(lambda a: a[i], lp)
         h = rmsnorm(x, wl["ln1"], cfg.rms_eps)
-        q = _split_heads(matmul_maybe_quant(h, wl["wq"]), cfg.num_heads, cfg.head_dim)
-        k = _split_heads(matmul_maybe_quant(h, wl["wk"]), cfg.num_kv_heads, cfg.head_dim)
-        v = _split_heads(matmul_maybe_quant(h, wl["wv"]), cfg.num_kv_heads, cfg.head_dim)
+        q, k, v = _project_qkv(h, wl, cfg)
         q = apply_rope(q, positions, inv_freqs)
         k = apply_rope(k, positions, inv_freqs)
 
-        kv_idx = jnp.arange(cfg.num_kv_heads)[None, :]
-        bidx = batch_idx[:, None]
-        lidx = lengths[:, None]
-        k_cache = k_cache.at[bidx, kv_idx, lidx].set(k[:, 0].astype(k_cache.dtype))
-        v_cache = v_cache.at[bidx, kv_idx, lidx].set(v[:, 0].astype(v_cache.dtype))
+        # per-slot in-place writes at position lengths[b] (scalar-start DUS
+        # keeps the carried cache buffer in place; a gather-scatter costs
+        # ~25 us/layer extra on v5e)
+        for b in range(B):
+            k_cache = lax.dynamic_update_slice(
+                k_cache,
+                k[b, 0].astype(k_cache.dtype).reshape(1, 1, KV, 1, HD),
+                (i, b, 0, lengths[b], 0),
+            )
+            v_cache = lax.dynamic_update_slice(
+                v_cache,
+                v[b, 0].astype(v_cache.dtype).reshape(1, 1, KV, 1, HD),
+                (i, b, 0, lengths[b], 0),
+            )
 
         if attn_impl == "pallas":
-            from ..ops.decode_attention import decode_attention
+            from ..ops.decode_attention import decode_attention_layered
 
-            attn = decode_attention(
+            attn = decode_attention_layered(
                 q[:, 0],
                 k_cache,
                 v_cache,
                 lengths + 1,
+                i,
                 interpret=jax.default_backend() != "tpu",
-            ).reshape(B, 1, cfg.num_heads * cfg.head_dim).astype(x.dtype)
+            ).reshape(B, 1, cfg.num_heads * HD).astype(x.dtype)
         else:
-            qg = q.reshape(B, cfg.num_kv_heads, G, cfg.head_dim)
+            k_s = lax.dynamic_slice(
+                k_cache, (i, 0, 0, 0, 0), (1, B, KV, bkt, HD)
+            )[0]
+            v_s = lax.dynamic_slice(
+                v_cache, (i, 0, 0, 0, 0), (1, B, KV, bkt, HD)
+            )[0]
+            qg = q.reshape(B, KV, G, HD)
             scores = jnp.einsum(
-                "bkgd,bksd->bkgs", qg, k_cache, preferred_element_type=jnp.float32
-            ) * (cfg.head_dim**-0.5)
+                "bkgd,bksd->bkgs", qg, k_s, preferred_element_type=jnp.float32
+            ) * (HD**-0.5)
             scores = jnp.where(key_mask[:, None, None, :], scores, -1e30)
             probs = jax.nn.softmax(scores, axis=-1)
             attn = jnp.einsum(
-                "bkgs,bksd->bkgd", probs.astype(v_cache.dtype), v_cache,
+                "bkgs,bksd->bkgd", probs.astype(v_s.dtype), v_s,
                 preferred_element_type=jnp.float32,
-            ).reshape(B, 1, cfg.num_heads * cfg.head_dim).astype(x.dtype)
+            ).reshape(B, 1, cfg.num_heads * HD).astype(x.dtype)
         x = x + matmul_maybe_quant(attn, wl["wo"])
         h = rmsnorm(x, wl["ln2"], cfg.rms_eps)
-        x = x + matmul_maybe_quant(
-            jax.nn.silu(matmul_maybe_quant(h, wl["wg"]))
-            * matmul_maybe_quant(h, wl["wu"]),
-            wl["wd"],
-        )
-        return x, (k_cache, v_cache)
+        x = x + _mlp(h, wl, cfg)
+        return x, k_cache, v_cache
 
-    x, (new_k, new_v) = lax.scan(layer, x, (lp, cache["k"], cache["v"]))
+    x, new_k, new_v = lax.fori_loop(
+        0, cfg.num_layers, layer_body, (x, cache["k"], cache["v"])
+    )
     x = rmsnorm(x[:, 0], params["ln_f"], cfg.rms_eps)
     head = params.get("lm_head")
     if head is None:

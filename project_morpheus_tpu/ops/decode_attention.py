@@ -136,6 +136,141 @@ def _decode_attn_kernel(
         ).astype(o_ref.dtype)
 
 
+def _decode_attn_kernel_layered(
+    layer_ref,       # SMEM (1,)
+    lengths_ref,     # SMEM (B,)
+    q_ref,           # VMEM (1, H, HD)
+    k_hbm,           # ANY  (L, B, KV, S, HD)
+    v_hbm,           # ANY  (L, B, KV, S, HD)
+    o_ref,           # VMEM (1, H, HD)
+    k_buf,           # VMEM scratch (2, block_s, HD)
+    v_buf,
+    sem,             # DMA sems (2, 2)
+    *,
+    block_s: int,
+    scale: float,
+    num_kv: int,
+):
+    """Same flash-decode loop as ``_decode_attn_kernel`` but the cache keeps
+    its stacked layer axis and the layer index arrives as a prefetch scalar —
+    so a layer loop carrying the full cache never slices it in HBM."""
+    b = pl.program_id(0)
+    li = layer_ref[0]
+    length = lengths_ref[b]
+    n_blocks = pl.cdiv(length, block_s)
+    H = q_ref.shape[1]
+    G = H // num_kv
+
+    def k_dma(slot, h, blk):
+        return pltpu.make_async_copy(
+            k_hbm.at[li, b, h, pl.ds(blk * block_s, block_s), :],
+            k_buf.at[slot],
+            sem.at[slot, 0],
+        )
+
+    def v_dma(slot, h, blk):
+        return pltpu.make_async_copy(
+            v_hbm.at[li, b, h, pl.ds(blk * block_s, block_s), :],
+            v_buf.at[slot],
+            sem.at[slot, 1],
+        )
+
+    for h in range(num_kv):
+        @pl.when(n_blocks > 0)
+        def _():
+            k_dma(0, h, 0).start()
+            v_dma(0, h, 0).start()
+
+        q = q_ref[0, h * G : (h + 1) * G, :].astype(jnp.float32) * scale
+
+        def body(blk, state, h=h):
+            m, l, acc = state
+            slot = blk % 2
+
+            @pl.when(blk + 1 < n_blocks)
+            def _():
+                k_dma((blk + 1) % 2, h, blk + 1).start()
+                v_dma((blk + 1) % 2, h, blk + 1).start()
+
+            k_dma(slot, h, blk).wait()
+            v_dma(slot, h, blk).wait()
+
+            k = k_buf[slot].astype(jnp.float32)
+            v = v_buf[slot].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            pos = blk * block_s + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(pos < length, s, -1e30)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc_new = acc * alpha + jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return m_new, l_new, acc_new
+
+        m0 = jnp.full((G, 1), -1e30, jnp.float32)
+        l0 = jnp.zeros((G, 1), jnp.float32)
+        acc0 = jnp.zeros((G, q.shape[1]), jnp.float32)
+        m, l, acc = lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
+        o_ref[0, h * G : (h + 1) * G, :] = (
+            acc / jnp.maximum(l, 1e-30)
+        ).astype(o_ref.dtype)
+
+
+def decode_attention_layered(
+    q: jnp.ndarray,        # (B, H, HD)
+    k_cache: jnp.ndarray,  # (L, B, KV, S, HD)
+    v_cache: jnp.ndarray,  # (L, B, KV, S, HD)
+    lengths: jnp.ndarray,  # (B,)
+    layer: jnp.ndarray,    # () int32 — which layer slice to attend over
+    *,
+    block_s: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash decode attention reading one layer of the stacked cache."""
+    B, H, HD = q.shape
+    KV, S = k_cache.shape[2], k_cache.shape[3]
+    scale = HD**-0.5
+    block_s = min(block_s, S)
+    if S % block_s != 0 or interpret:
+        kl = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, keepdims=False)
+        vl = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, keepdims=False)
+        return decode_attention_reference(q, kl, vl, lengths)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, H, HD), lambda b, li, lens: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, H, HD), lambda b, li, lens: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_s, HD), k_cache.dtype),
+            pltpu.VMEM((2, block_s, HD), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_attn_kernel_layered, block_s=block_s, scale=scale, num_kv=KV
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, HD), q.dtype),
+    )(jnp.asarray(layer, jnp.int32)[None], lengths, q, k_cache, v_cache)
+
+
 @functools.partial(jax.jit, static_argnames=("block_s", "interpret"))
 def decode_attention(
     q: jnp.ndarray,        # (B, H, HD)

@@ -135,3 +135,44 @@ def test_stop_token_ends_stream(params, cfg):
 
     for out in _run(go()):
         assert 7 not in out
+
+
+def test_stale_frame_not_delivered_to_reassigned_slot(params, cfg):
+    """Pipelined dispatch: a frame snapshotted against an old request must
+    not leak tokens into a new request admitted on the same slot."""
+    from project_morpheus_tpu.engine.request import Request, RequestState
+
+    async def go():
+        eng = _engine(params, cfg)
+        sp = SamplingParams(temperature=0.0, max_tokens=4, stop_token_ids=())
+        old = Request([5, 6], sp.clipped())
+        old.state = RequestState.DECODING
+        old.slot = 1
+        new = Request([5, 6], sp.clipped())
+        new.state = RequestState.DECODING
+        new.slot = 1
+        eng._by_slot[1] = new  # slot was re-assigned while frame was in flight
+        snapshot = {1: old}
+        eng._process_frame(np.asarray([[0, 9, 0, 0]]), snapshot)
+        await eng.close()
+        return old, new
+
+    old, new = _run(go())
+    assert old.token_queue.qsize() == 0, "stale frame leaked into old request"
+    assert new.token_queue.qsize() == 0, "stale frame leaked into new request"
+
+
+def test_pipelined_sequential_requests_clean(params, cfg):
+    """Back-to-back requests on a 1-slot engine stay independent."""
+    async def go():
+        eng = _engine(params, cfg, max_slots=1)
+        sp = SamplingParams(temperature=0.0, max_tokens=5, stop_token_ids=())
+        r1 = await eng.submit([5, 6, 8], sp)
+        t1 = [t async for t in r1.tokens()]
+        r2 = await eng.submit([5, 6, 8], sp)
+        t2 = [t async for t in r2.tokens()]
+        await eng.close()
+        return t1, t2
+
+    t1, t2 = _run(go())
+    assert t1 == t2, "greedy decode of identical prompts must match"
