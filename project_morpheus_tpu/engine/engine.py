@@ -232,13 +232,22 @@ class OrpheusEngine:
         engine_cfg: Optional[EngineConfig] = None,
         *,
         codec: Optional[tuple] = None,  # (snac_params, SNACConfig): audio mode
+        mesh=None,  # jax.sharding.Mesh (data, model): TP/DP-sharded serving
         seed: int = 0,
     ) -> None:
-        from ..model.quant import fuse_layer_weights
+        from ..model.quant import fuse_layer_weights, is_quantized
 
-        # serving-time projection fusion (wqkv / wgu): fewer, larger MXU
-        # dispatches per layer; numerically identical (quant.py docstring)
-        self.params = fuse_layer_weights(params)
+        self.mesh = mesh
+        tp = mesh is not None and dict(mesh.shape).get("model", 1) > 1
+        if tp:
+            # Megatron TP shards q/k/v on head boundaries; a naively fused
+            # wqkv column-sharded over `model` would split mid-head.  Keep
+            # the canonical separate layout when tensor-sharded.
+            self.params = params
+        else:
+            # serving-time projection fusion (wqkv / wgu): fewer, larger MXU
+            # dispatches per layer; numerically identical (quant.py docstring)
+            self.params = fuse_layer_weights(params)
         self.cfg = model_cfg
         self._codec = codec
         self.ecfg = engine_cfg or EngineConfig()
@@ -255,6 +264,30 @@ class OrpheusEngine:
             "top_p": jnp.ones((B,), jnp.float32),
             "rep_pen": jnp.ones((B,), jnp.float32),
         }
+        if mesh is not None:
+            from ..parallel.sharding import (
+                engine_state_shardings,
+                param_shardings,
+                shardings_like,
+            )
+
+            has_quant = any(
+                is_quantized(v) for v in self.params["layers"].values()
+            )
+            if tp and has_quant:
+                raise NotImplementedError(
+                    "tensor-parallel serving currently requires unquantized "
+                    "(bf16) weights; int8 scale sharding lands later"
+                )
+            pshard = param_shardings(
+                model_cfg, mesh, mode="tp" if tp else "replicated"
+            )
+            self.params = jax.device_put(
+                self.params, shardings_like(self.params, pshard)
+            )
+            self.dstate = jax.device_put(
+                self.dstate, engine_state_shardings(mesh)
+            )
         self._key = jax.random.key(seed)
         self.attn_impl = self.ecfg.attn_impl
         if self.attn_impl == "auto":

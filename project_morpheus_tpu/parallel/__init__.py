@@ -18,6 +18,7 @@ from .sharding import (
     kv_cache_shardings,
     engine_state_shardings,
     batch_shardings,
+    shardings_like,
 )
 
 __all__ = [
@@ -27,4 +28,5 @@ __all__ = [
     "kv_cache_shardings",
     "engine_state_shardings",
     "batch_shardings",
+    "shardings_like",
 ]

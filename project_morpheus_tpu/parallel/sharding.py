@@ -111,6 +111,58 @@ def param_shardings(cfg: LlamaConfig, mesh: Mesh, mode: str = "tp") -> Dict:
     raise ValueError(f"unknown sharding mode {mode!r}")
 
 
+def shardings_like(params: Dict, shardings: Dict) -> Dict:
+    """Adapt a ``param_shardings`` pytree to the actual params structure.
+
+    Handles two serving-time divergences from the canonical layout:
+    - fused projection leaves (``wqkv``/``wgu``, quant.fuse_layer_weights):
+      inherit wq's / wg's spec (identical axis meaning when the out axis is
+      unsharded — TP never fuses);
+    - int8-quantized leaves ``{"q", "scale"}``: the int8 tensor takes the
+      weight spec; the per-output-column scale takes the spec minus the
+      contraction axis.
+    """
+    from ..model.quant import is_quantized
+
+    def scale_spec(ns: NamedSharding, qshape, sshape) -> NamedSharding:
+        # the scale's dims correspond (in order) to a subset of q's dims —
+        # per-output-column for layer weights ((L, in, out) -> (L, out)),
+        # per-row for the embedding ((V, D) -> (V,)); match greedily by size
+        spec = list(ns.spec) + [None] * (len(qshape) - len(ns.spec))
+        kept = [None] * len(sshape)
+        i = len(qshape) - 1
+        for j in reversed(range(len(sshape))):
+            while i >= 0 and qshape[i] != sshape[j]:
+                i -= 1
+            if i < 0:  # no alignment found: replicate the scale (it's tiny)
+                return NamedSharding(ns.mesh, P(*([None] * len(sshape))))
+            kept[j] = spec[i]
+            i -= 1
+        return NamedSharding(ns.mesh, P(*kept))
+
+    def adapt(p, s):
+        if is_quantized(p):
+            return {
+                "q": s,
+                "scale": scale_spec(s, p["q"].shape, p["scale"].shape),
+            }
+        return s
+
+    out: Dict = {}
+    for key, val in params.items():
+        if key == "layers":
+            lsh = shardings["layers"]
+            out["layers"] = {}
+            for k, v in val.items():
+                base = lsh.get(k) or lsh.get(
+                    {"wqkv": "wq", "wgu": "wg"}.get(k, k)
+                )
+                out["layers"][k] = adapt(v, base)
+        else:
+            out[key] = adapt(val, shardings[key])
+    return out
+
+
 def kv_cache_shardings(mesh: Mesh) -> Dict:
     """Cache (L, slots, KV, S, HD): slots over data, kv heads over model."""
     return {

@@ -109,3 +109,99 @@ def test_engine_state_shardings_cover_dstate(cfg):
     }
     placed = jax.device_put(dstate, shardings)  # structures must match
     assert placed["cache"]["k"].sharding.spec == shardings["cache"]["k"].spec
+
+
+def test_engine_runs_on_mesh_tp():
+    """TP/DP-sharded serving: engine on a (2 data, 2 model) CPU mesh."""
+    import asyncio
+
+    import jax
+    import jax.numpy as jnp
+
+    from project_morpheus_tpu.engine import EngineConfig, OrpheusEngine
+    from project_morpheus_tpu.model import LlamaConfig, init_llama_params
+    from project_morpheus_tpu.model.sampling import SamplingParams
+    from project_morpheus_tpu.parallel import make_mesh
+
+    cfg = LlamaConfig.tiny_vocab()
+    params = init_llama_params(cfg, jax.random.key(0), dtype=jnp.float32)
+    mesh = make_mesh(model=2, devices=jax.devices()[:4])
+
+    async def go():
+        eng = OrpheusEngine(
+            params,
+            cfg,
+            EngineConfig(max_slots=2, max_seq_len=64, prefill_buckets=(16,)),
+            mesh=mesh,
+        )
+        assert "wqkv" not in eng.params["layers"], "TP must not fuse qkv"
+        sp = SamplingParams(temperature=0.0, max_tokens=6, stop_token_ids=())
+        req = await eng.submit([5, 6, 8], sp)
+        toks = [t async for t in req.tokens()]
+        await eng.close()
+        return toks
+
+    toks = asyncio.run(go())
+    assert len(toks) == 6
+
+
+def test_engine_mesh_matches_unsharded():
+    """Greedy decode on a data-only mesh equals the single-device engine."""
+    import asyncio
+
+    import jax
+    import jax.numpy as jnp
+
+    from project_morpheus_tpu.engine import EngineConfig, OrpheusEngine
+    from project_morpheus_tpu.model import LlamaConfig, init_llama_params
+    from project_morpheus_tpu.model.sampling import SamplingParams
+    from project_morpheus_tpu.parallel import make_mesh
+
+    cfg = LlamaConfig.tiny_vocab()
+    params = init_llama_params(cfg, jax.random.key(0), dtype=jnp.float32)
+
+    async def run(mesh):
+        eng = OrpheusEngine(
+            params,
+            cfg,
+            EngineConfig(max_slots=2, max_seq_len=64, prefill_buckets=(16,)),
+            mesh=mesh,
+        )
+        sp = SamplingParams(temperature=0.0, max_tokens=6, stop_token_ids=())
+        req = await eng.submit([5, 6, 8], sp)
+        toks = [t async for t in req.tokens()]
+        await eng.close()
+        return toks
+
+    mesh = make_mesh(model=1, devices=jax.devices()[:2])
+    a = asyncio.run(run(mesh))
+    b = asyncio.run(run(None))
+    assert a == b
+
+
+def test_shardings_like_quantized_and_fused():
+    import jax
+    import jax.numpy as jnp
+
+    from project_morpheus_tpu.model import LlamaConfig, init_llama_params
+    from project_morpheus_tpu.model.quant import (
+        fuse_layer_weights,
+        quantize_params_int8,
+    )
+    from project_morpheus_tpu.parallel import (
+        make_mesh,
+        param_shardings,
+        shardings_like,
+    )
+
+    cfg = LlamaConfig.tiny_vocab()
+    params = fuse_layer_weights(
+        quantize_params_int8(
+            init_llama_params(cfg, jax.random.key(0), dtype=jnp.float32)
+        )
+    )
+    mesh = make_mesh(model=1, devices=jax.devices()[:2])
+    sh = shardings_like(params, param_shardings(cfg, mesh, mode="replicated"))
+    # every array leaf got a sharding; device_put must succeed
+    placed = jax.device_put(params, sh)
+    assert placed["layers"]["wqkv"]["q"].shape == params["layers"]["wqkv"]["q"].shape
