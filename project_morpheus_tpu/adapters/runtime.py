@@ -131,9 +131,25 @@ class ServingRuntime:
         self.model_cfg = cfg
         ckpt = os.environ.get("ORPHEUS_CHECKPOINT_PATH")
         if ckpt and os.path.isdir(ckpt):
-            from ..training.checkpoint import restore_params
+            import pathlib
 
-            params = restore_params(ckpt, cfg)
+            d = pathlib.Path(ckpt)
+            if any(d.glob("*.safetensors")) or any(d.glob("pytorch_model*.bin")):
+                # an HF Orpheus release directory (what the reference's vLLM
+                # path consumes, engine_class.py:60-67)
+                from ..model.hf_weights import load_hf_checkpoint
+
+                dtype = jnp.float32 if size == "tiny" else jnp.bfloat16
+                params, cfg = load_hf_checkpoint(
+                    ckpt,
+                    None if (d / "config.json").exists() else cfg,
+                    dtype=dtype,
+                )
+                self.model_cfg = cfg
+            else:
+                from ..training.checkpoint import restore_params
+
+                params = restore_params(ckpt, cfg)
         else:
             dtype = jnp.float32 if size == "tiny" else jnp.bfloat16
             params = init_llama_params(cfg, jax.random.key(0), dtype=dtype)

@@ -129,3 +129,28 @@ def test_vocab_padding_and_missing_layer_errors(hf_model):
 
     params = hf_state_dict_to_params(state, cfg, dtype=jnp.float32)
     assert params["embed"].shape[0] == cfg.padded_vocab
+
+
+def test_runtime_builds_from_hf_dir(tmp_path, hf_model, monkeypatch):
+    """ORPHEUS_CHECKPOINT_PATH pointing at an HF release dir just works."""
+    import asyncio
+
+    from project_morpheus_tpu.adapters.runtime import ServingRuntime
+
+    model, _ = hf_model
+    model.save_pretrained(tmp_path, safe_serialization=True)
+    monkeypatch.setenv("ORPHEUS_ENGINE_MODE", "jax")
+    monkeypatch.setenv("ORPHEUS_MODEL_SIZE", "tiny")
+    monkeypatch.setenv("ORPHEUS_CHECKPOINT_PATH", str(tmp_path))
+    monkeypatch.setenv("ORPHEUS_MAX_SLOTS", "2")
+    monkeypatch.setenv("ORPHEUS_MAX_SEQ", "64")
+
+    rt = ServingRuntime()
+
+    async def go():
+        await rt.ensure()
+        return rt.engine, rt.model_cfg
+
+    engine, cfg = asyncio.run(go())
+    assert cfg.vocab_size == 512  # picked up from the HF config.json
+    assert engine is not None
