@@ -1,0 +1,237 @@
+"""Stateful streaming SNAC decode: O(1) cached context, 4-frame hops.
+
+The windowed streaming decoder (streaming.py mode="native") recomputes a
+7-frame window every hop and approximates left context by replication.
+This module is the TPU-native fixed-latency upgrade: per-layer activation
+tails are cached at a **commit frontier**, so each hop
+
+- decodes a static 4-frame window ``[t-3 .. t]`` (vs 7 — measured 13.3 ->
+  7.8 ms fp32 for the batch-8 hop on v5e),
+- emits frame ``t-2`` (same 2-frame lookahead/latency as the windowed
+  mode), and
+- commits frame ``t-3``: every cached tail advances one frame.
+
+Exactness: the decoder's future receptive cone is ~4.5k samples < 3 frames
+(6144), so committed tails equal a full-prefix decode's activations, and
+each emitted mid-stream frame equals ``snac_decode(frames[0..t])`` at that
+frame's position (gold test in tests/test_stream_decode.py) — strictly
+better than the windowed mode's replicated left context (measured 49 dB
+window-4 SNR vs exact here).  The right edge zero-pads beyond frame ``t``
+exactly like a prefix decode; zero-initialised tails are exactly the
+stream-head padding.
+
+State is a batched pytree (lane = engine slot); hops for many streams run
+in ONE dispatch with per-lane ``commit`` masks (masked lanes produce
+discarded output and keep their state), and lanes reset to zeros on
+admission.
+
+Reference counterpart: tokens_decoder's 49-token sliding window
+(Morpheus_Client/tts_engine/speechpipe.py:191-260).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .frames import tokens_to_codes
+from .snac_config import SNACConfig
+from .snac_jax import rvq_from_codes, snake
+
+State = Dict[str, jnp.ndarray]
+
+WINDOW_FRAMES = 4   # [t-3 .. t]
+EMIT_SLOT = 1       # frame t-2: 2-frame lookahead, matching windowed native
+
+
+# -------------------------------------------------------------- state layout
+
+
+def _tail_specs(cfg: SNACConfig):
+    """(name, tail_len, channels): every stateful conv site, decode order.
+
+    Tails store the RAW (pre-activation) inputs of each conv site; snake is
+    re-applied on read so pointwise stages never need their own state.
+    """
+    specs = []
+    specs.append(("in", 3, cfg.latent))
+    for i, rate in enumerate(cfg.decoder_rates):
+        in_dim = cfg.decoder_dim // (2**i)
+        out_dim = cfg.decoder_dim // (2 ** (i + 1))
+        specs.append((f"b{i}_up", 1, in_dim))
+        for j, dil in enumerate((1, 3, 9)):
+            specs.append((f"b{i}_res{j}", 3 * dil, out_dim))
+    specs.append(("out", 3, cfg.decoder_dim // (2 ** len(cfg.decoder_rates))))
+    return specs
+
+
+def init_stream_state(cfg: SNACConfig, batch: int, dtype=jnp.float32) -> State:
+    """Zero tails == the stream-head zero padding of a full decode."""
+    return {
+        name: jnp.zeros((batch, tail, ch), dtype)
+        for name, tail, ch in _tail_specs(cfg)
+    }
+
+
+def reset_lanes(state: State, lane_mask) -> State:
+    """Zero the tails of lanes where ``lane_mask`` is True (admission)."""
+    return {
+        k: jnp.where(lane_mask[:, None, None], 0.0, v)
+        for k, v in state.items()
+    }
+
+
+# ----------------------------------------------------------- streaming convs
+
+
+def _advance(tail: jnp.ndarray, raw_x: jnp.ndarray, frame: int, commit):
+    """Slide the cached tail one committed frame forward."""
+    p = tail.shape[1]
+    new = lax.slice_in_dim(
+        jnp.concatenate([tail, raw_x], axis=1), frame, frame + p, axis=1
+    )
+    return jnp.where(commit[:, None, None], new, tail)
+
+
+def _ctx_conv(
+    x: jnp.ndarray,          # (B, T, C) conv input for the window
+    left: jnp.ndarray,       # (B, p, C) exact left context (same transform)
+    w: jnp.ndarray,          # (k, in/groups, out)
+    b: Optional[jnp.ndarray],
+    *,
+    dilation: int,
+    depthwise: bool,
+) -> jnp.ndarray:
+    """'Same'-padded conv with the left pad replaced by cached context; the
+    right side zero-pads exactly like a prefix decode's edge."""
+    B, T, _ = x.shape
+    k = w.shape[0]
+    p = (k - 1) * dilation // 2
+    xin = jnp.concatenate(
+        [left[:, left.shape[1] - p :], x, jnp.zeros((B, p, x.shape[2]), x.dtype)],
+        axis=1,
+    )
+    y = None
+    for kk in range(k):
+        start = kk * dilation
+        sl = lax.slice_in_dim(xin, start, start + T, axis=1)
+        contrib = sl * w[kk, 0][None, None, :] if depthwise else sl @ w[kk]
+        y = contrib if y is None else y + contrib
+    return y + b if b is not None else y
+
+
+def _ctx_conv_transpose(
+    x: jnp.ndarray,          # (B, T, c_in) conv input (post-snake)
+    left: jnp.ndarray,       # (B, 1, c_in) x[-1] of the previous window
+    w_flipped: jnp.ndarray,  # (k, in, out) time-flipped torch kernel
+    b: Optional[jnp.ndarray],
+    *,
+    stride: int,
+) -> jnp.ndarray:
+    """Streaming phase-decomposed ConvTranspose1d (k=2s, pad s/2): identical
+    math to snac_jax.conv_transpose1d with x[-1] from the cache."""
+    B, T, c_in = x.shape
+    s = stride
+    half = s // 2
+    c_out = w_flipped.shape[2]
+    W = w_flipped[::-1]
+
+    A0 = jnp.concatenate([W[(p + half) % s] for p in range(half)], axis=1)
+    B0 = jnp.concatenate([W[(p + half) % s + s] for p in range(half)], axis=1)
+    A1 = jnp.concatenate([W[(p + half) % s] for p in range(half, s)], axis=1)
+    B1 = jnp.concatenate([W[(p + half) % s + s] for p in range(half, s)], axis=1)
+
+    x_m1 = jnp.concatenate([left, x[:, :-1]], axis=1)
+    x_p1 = jnp.concatenate([x[:, 1:], jnp.zeros((B, 1, c_in), x.dtype)], axis=1)
+    y0 = (x @ A0 + x_m1 @ B0).reshape(B, T, half, c_out)
+    y1 = (x_p1 @ A1 + x @ B1).reshape(B, T, s - half, c_out)
+    y = jnp.concatenate([y0, y1], axis=2).reshape(B, T * s, c_out)
+    return y + b if b is not None else y
+
+
+# ---------------------------------------------------------------- the kernel
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
+def snac_stream_step(
+    params,
+    window_tokens: jnp.ndarray,  # (B, WINDOW_FRAMES * 7) int32 code entries
+    state: State,
+    commit: jnp.ndarray,          # (B,) bool — lanes with real work
+    *,
+    cfg: SNACConfig,
+) -> Tuple[jnp.ndarray, State]:
+    """One streaming hop for a batch of lanes.
+
+    Returns int16 PCM ``(B, frame_samples)`` for window slot ``EMIT_SLOT``
+    and the advanced state.  Lanes with ``commit=False`` produce garbage
+    output (discarded by the caller) and keep their state untouched.
+    """
+    ns: State = {}
+    dec = params["decoder"]
+    z = rvq_from_codes(params, tokens_to_codes(window_tokens), cfg)
+
+    frame = z.shape[1] // WINDOW_FRAMES  # steps per frame, this timeline
+
+    # --- input conv (raw input: z)
+    if cfg.depthwise:
+        x = _ctx_conv(
+            z, state["in"], dec["in_dw_w"], dec["in_dw_b"],
+            dilation=1, depthwise=True,
+        )
+        x = x @ dec["in_pw_w"][0] + dec["in_pw_b"]
+    else:
+        x = _ctx_conv(
+            z, state["in"], dec["in_w"], dec["in_b"],
+            dilation=1, depthwise=False,
+        )
+    ns["in"] = _advance(state["in"], z, frame, commit)
+
+    for i, rate in enumerate(cfg.decoder_rates):
+        blk = dec["blocks"][i]
+        out_dim = cfg.decoder_dim // (2 ** (i + 1))
+        groups = out_dim if cfg.depthwise else 1
+        depthwise = groups == out_dim and cfg.depthwise
+
+        # --- upsample (raw input: pre-snake x)
+        raw = x
+        ns[f"b{i}_up"] = _advance(state[f"b{i}_up"], raw, frame, commit)
+        x = _ctx_conv_transpose(
+            snake(raw, blk["alpha_up"]),
+            snake(state[f"b{i}_up"], blk["alpha_up"]),
+            blk["up_w"], blk["up_b"], stride=rate,
+        )
+        frame *= rate
+        # noise block is identity in deterministic serving (rng None)
+
+        # --- residual units (raw input: pre-snake residual x)
+        for j, dil in enumerate((1, 3, 9)):
+            p = blk[f"res{j+1}"]
+            key = f"b{i}_res{j}"
+            raw = x
+            ns[key] = _advance(state[key], raw, frame, commit)
+            y = _ctx_conv(
+                snake(raw, p["alpha1"]),
+                snake(state[key], p["alpha1"]),
+                p["w1"], p["b1"], dilation=dil, depthwise=depthwise,
+            )
+            y = snake(y, p["alpha2"])
+            y = y @ p["w2"][0] + p["b2"]
+            x = raw + y
+
+    # --- output conv (raw input: pre-snake x)
+    raw = x
+    ns["out"] = _advance(state["out"], raw, frame, commit)
+    x = _ctx_conv(
+        snake(raw, dec["alpha_out"]),
+        snake(state["out"], dec["alpha_out"]),
+        dec["out_w"], dec["out_b"], dilation=1, depthwise=False,
+    )
+    x = jnp.tanh(x)[..., 0]  # (B, window samples)
+
+    hop = cfg.frame_samples
+    pcm = x[:, EMIT_SLOT * hop : (EMIT_SLOT + 1) * hop]
+    return (pcm * 32767.0).astype(jnp.int16), ns

@@ -22,6 +22,7 @@ from __future__ import annotations
 import asyncio
 import json
 import logging
+import os
 import struct
 from pathlib import Path
 from typing import Optional
@@ -362,6 +363,17 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--host", default=None)
     p.add_argument("--port", type=int, default=None)
+    p.add_argument(
+        "--platform",
+        default=os.environ.get("ORPHEUS_JAX_PLATFORM"),
+        help="force a JAX platform (e.g. cpu); site plugins may override "
+        "JAX_PLATFORMS, so this applies jax.config.update before any "
+        "compilation",
+    )
     args = p.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     logging.basicConfig(level=logging.INFO)
     start_server(args.host, args.port)

@@ -1,0 +1,108 @@
+"""Stateful streaming SNAC decode: gold equivalence vs prefix decode.
+
+The streaming hop at time t (window [t-3..t], zero right pad) must emit
+frame t-2 EXACTLY as ``snac_decode`` of the full prefix frames[0..t] does
+— cached tails replace recomputation without approximation.  (A full-
+sequence decode differs only beyond the 2-frame lookahead cone; the
+prefix oracle shares the same right edge.)
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from project_morpheus_tpu.codec import SNACConfig, init_snac_params
+from project_morpheus_tpu.codec.frames import tokens_to_codes
+from project_morpheus_tpu.codec.snac_jax import snac_decode
+from project_morpheus_tpu.codec.stream_decode import (
+    EMIT_SLOT,
+    WINDOW_FRAMES,
+    init_stream_state,
+    reset_lanes,
+    snac_stream_step,
+)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return SNACConfig.tiny()
+
+
+@pytest.fixture(scope="module")
+def params(cfg):
+    return init_snac_params(cfg, seed=3)
+
+
+def _prefix_oracle(params, frames, t, cfg):
+    """snac_decode over frames[0..t]; int16 slice of frame t-2."""
+    toks = jnp.asarray(frames[: t + 1].reshape(1, -1))
+    audio = snac_decode(params, tokens_to_codes(toks), cfg, noise_rng=None)
+    hop = cfg.frame_samples
+    e = t - 2
+    return np.asarray(
+        (audio[0, e * hop : (e + 1) * hop] * 32767.0).astype(jnp.int16)
+    )
+
+
+def test_stream_equals_prefix_decode(cfg, params):
+    rng = np.random.default_rng(0)
+    N = 10
+    frames = rng.integers(0, cfg.codebook_size, size=(N, 7)).astype(np.int32)
+
+    state = init_stream_state(cfg, 1)
+    commit = jnp.ones((1,), bool)
+    for t in range(3, N):
+        window = jnp.asarray(frames[t - 3 : t + 1].reshape(1, -1))
+        pcm, state = snac_stream_step(params, window, state, commit, cfg=cfg)
+        want = _prefix_oracle(params, frames, t, cfg)
+        got = np.asarray(pcm[0])
+        # int16 rounding at fp32: allow off-by-one LSB from reassociation
+        assert np.max(np.abs(got.astype(np.int32) - want.astype(np.int32))) <= 1, (
+            f"hop t={t}: max err "
+            f"{np.max(np.abs(got.astype(np.int32) - want.astype(np.int32)))}"
+        )
+
+
+def test_masked_lane_keeps_state_and_batch_matches_single(cfg, params):
+    rng = np.random.default_rng(1)
+    N = 8
+    frames = rng.integers(0, cfg.codebook_size, size=(N, 7)).astype(np.int32)
+    garbage = rng.integers(0, cfg.codebook_size, size=(N, 7)).astype(np.int32)
+
+    s1 = init_stream_state(cfg, 1)
+    s2 = init_stream_state(cfg, 2)
+    ones = jnp.ones((1,), bool)
+    mask = jnp.asarray([True, False])
+
+    for t in range(3, N):
+        w1 = jnp.asarray(frames[t - 3 : t + 1].reshape(1, -1))
+        w2 = jnp.asarray(
+            np.stack(
+                [
+                    frames[t - 3 : t + 1].reshape(-1),
+                    garbage[t - 3 : t + 1].reshape(-1),
+                ]
+            )
+        )
+        p1, s1 = snac_stream_step(params, w1, s1, ones, cfg=cfg)
+        p2, s2 = snac_stream_step(params, w2, s2, mask, cfg=cfg)
+        np.testing.assert_array_equal(np.asarray(p1[0]), np.asarray(p2[0]))
+
+    for k, v in s2.items():
+        np.testing.assert_array_equal(
+            np.asarray(v[1]), np.zeros_like(np.asarray(v[1])),
+            err_msg=f"masked lane state mutated: {k}",
+        )
+
+
+def test_reset_lanes(cfg, params):
+    state = init_stream_state(cfg, 2)
+    state = {k: v + 1.0 for k, v in state.items()}
+    state = reset_lanes(state, jnp.asarray([True, False]))
+    for v in state.values():
+        assert float(np.abs(np.asarray(v[0])).max()) == 0.0
+        assert float(np.abs(np.asarray(v[1])).min()) == 1.0
+
+
+def test_window_shape_contract(cfg):
+    assert WINDOW_FRAMES == 4 and EMIT_SLOT == 1
