@@ -413,9 +413,14 @@ class OrpheusEngine:
         stop_ids = set(req.sampling.stop_token_ids) | set(self.ecfg.default_stop_ids)
         req.generated += 1
         hit_stop = token in stop_ids
+        # Evict with enough headroom that frames already dispatched (or about
+        # to be, under pipelining) can't write past max_seq_len: up to
+        # steps_per_sync-1 tokens remain in the frame being processed plus
+        # steps_per_sync per pipelined frame in flight.
+        margin = self.steps_per_sync * (1 + max(self.ecfg.pipeline_depth, 0))
         out_of_budget = (
             req.generated >= req.sampling.max_tokens
-            or req.generated + len(req.prompt_ids) >= self.ecfg.max_seq_len - 1
+            or req.generated + req.ctx_len >= self.ecfg.max_seq_len - margin
         )
         if not hit_stop:
             req.token_queue.put_nowait(token)
@@ -437,6 +442,12 @@ class OrpheusEngine:
             + n_steps * (1 + max(self.ecfg.pipeline_depth, 0))
             + 1
         )
+        # device-write safety: the margin-based eviction in _deliver keeps
+        # every live length below max_seq_len even with frames in flight
+        assert need <= self.ecfg.max_seq_len, (
+            f"live context {need} exceeds max_seq_len "
+            f"{self.ecfg.max_seq_len}; budget eviction failed"
+        )
         for b in sorted(self.ecfg.context_buckets):
             if b >= need and b <= self.ecfg.max_seq_len:
                 return b
@@ -446,11 +457,11 @@ class OrpheusEngine:
         """Issue one decode dispatch; returns (device toks, slot snapshot)."""
         n = self.steps_per_sync
         if n > 1:
-            # device-side early stop uses the engine-wide default ids only
-            # (static -> one compiled program); per-request custom stop ids
-            # are still honoured on the host in _deliver, at worst
-            # steps_per_sync-1 wasted tokens for that slot.
-            stop_ids = tuple(sorted(self.ecfg.default_stop_ids))
+            # device-side early stop over the union of default + in-flight
+            # per-request stop ids.  The union is a static arg, so a novel
+            # custom stop set costs one extra compile; the common case (all
+            # requests on defaults) reuses a single program.
+            stop_ids = tuple(sorted(self._all_stop_ids()))
             self.dstate, toks = _decode_multi(
                 self.params,
                 self.dstate,

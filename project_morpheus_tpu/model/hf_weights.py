@@ -17,7 +17,9 @@ compares logits against ``transformers.LlamaForCausalLM`` on a tiny config):
 """
 from __future__ import annotations
 
+import dataclasses
 import json
+import logging
 import os
 import re
 from pathlib import Path
@@ -28,12 +30,26 @@ import numpy as np
 
 from .config import LlamaConfig
 
+logger = logging.getLogger(__name__)
+
 __all__ = ["load_hf_checkpoint", "hf_state_dict_to_params", "config_from_hf"]
 
 
 def config_from_hf(hf_config: Dict) -> LlamaConfig:
-    """Build a LlamaConfig from an HF ``config.json`` dict."""
+    """Build a LlamaConfig from an HF ``config.json`` dict.
+
+    ``tie_word_embeddings`` defaults to False when absent — matching HF's
+    ``LlamaConfig`` default; ``load_hf_checkpoint`` additionally infers the
+    true value from the state dict when the key is omitted.
+    """
     rope = hf_config.get("rope_scaling") or {}
+    if rope:
+        rtype = rope.get("rope_type") or rope.get("type")
+        if rtype != "llama3":
+            raise ValueError(
+                f"unsupported rope_scaling type {rtype!r}; only 'llama3' "
+                "(low/high freq factor) scaling is implemented"
+            )
     head_dim = hf_config.get("head_dim") or (
         hf_config["hidden_size"] // hf_config["num_attention_heads"]
     )
@@ -56,7 +72,7 @@ def config_from_hf(hf_config: Dict) -> LlamaConfig:
             rope.get("original_max_position_embeddings", 8192)
         ),
         rms_eps=float(hf_config.get("rms_norm_eps", 1e-5)),
-        tie_embeddings=bool(hf_config.get("tie_word_embeddings", True)),
+        tie_embeddings=bool(hf_config.get("tie_word_embeddings", False)),
     )
 
 
@@ -132,6 +148,12 @@ def hf_state_dict_to_params(
 
     if embed is None or ln_f is None:
         raise ValueError("state dict missing embed_tokens / model.norm")
+    if not cfg.tie_embeddings and lm_head is None:
+        raise ValueError(
+            "config says untied embeddings (tie_word_embeddings=False) but "
+            "the checkpoint has no lm_head.weight; pass a cfg with "
+            "tie_embeddings=True or use load_hf_checkpoint (which infers)"
+        )
     for key, rows in staged.items():
         missing = [i for i, r in enumerate(rows) if r is None]
         if missing:
@@ -170,10 +192,26 @@ def load_hf_checkpoint(
 ) -> Tuple[Dict, LlamaConfig]:
     """Load an HF Llama/Orpheus checkpoint directory into (params, cfg)."""
     d = Path(os.path.expanduser(directory))
+    hf_cfg: Optional[Dict] = None
     if cfg is None:
         cfg_path = d / "config.json"
         if not cfg_path.exists():
             raise FileNotFoundError(f"{cfg_path} not found; pass cfg explicitly")
-        cfg = config_from_hf(json.loads(cfg_path.read_text()))
+        hf_cfg = json.loads(cfg_path.read_text())
+        cfg = config_from_hf(hf_cfg)
     state = dict(_iter_hf_tensors(d))
+    if hf_cfg is not None:
+        # When config.json omits tie_word_embeddings, trust the state dict:
+        # an untied checkpoint ships lm_head.weight, a tied one doesn't.
+        # A silently-dropped lm_head produces garbage logits with no error.
+        tied_in_state = "lm_head.weight" not in state
+        if "tie_word_embeddings" not in hf_cfg:
+            if tied_in_state != cfg.tie_embeddings:
+                cfg = dataclasses.replace(cfg, tie_embeddings=tied_in_state)
+        elif cfg.tie_embeddings != tied_in_state and not cfg.tie_embeddings:
+            logger.warning(
+                "config.json declares untied embeddings but the checkpoint "
+                "has no lm_head.weight; falling back to tied"
+            )
+            cfg = dataclasses.replace(cfg, tie_embeddings=True)
     return hf_state_dict_to_params(state, cfg, dtype), cfg

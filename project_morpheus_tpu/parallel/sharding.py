@@ -97,17 +97,17 @@ def param_shardings(cfg: LlamaConfig, mesh: Mesh, mode: str = "tp") -> Dict:
             out["lm_head"] = _ns(mesh, "data", "model")
         return out
     if mode == "replicated":
-        return jax.tree.map(
-            lambda _: _ns(mesh),
-            {
-                "embed": 0,
-                "layers": {
-                    k: 0
-                    for k in ("ln1", "wq", "wk", "wv", "wo", "ln2", "wg", "wu", "wd")
-                },
-                "ln_f": 0,
+        tree = {
+            "embed": 0,
+            "layers": {
+                k: 0
+                for k in ("ln1", "wq", "wk", "wv", "wo", "ln2", "wg", "wu", "wd")
             },
-        )
+            "ln_f": 0,
+        }
+        if not cfg.tie_embeddings:
+            tree["lm_head"] = 0
+        return jax.tree.map(lambda _: _ns(mesh), tree)
     raise ValueError(f"unknown sharding mode {mode!r}")
 
 

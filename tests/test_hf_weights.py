@@ -118,6 +118,49 @@ def test_load_hf_checkpoint_from_dir(tmp_path, hf_model):
     )
 
 
+def test_tie_inference_from_state_dict(tmp_path, hf_model):
+    """config.json omitting tie_word_embeddings must not drop lm_head.
+
+    HF's LlamaConfig default is untied; a tied checkpoint omits
+    lm_head.weight from the state dict.  load_hf_checkpoint infers tying
+    from the state dict when the config key is absent (ADVICE r1).
+    """
+    model, hf_cfg = hf_model
+    model.save_pretrained(tmp_path, safe_serialization=True)
+    cfg_dict = json.loads((tmp_path / "config.json").read_text())
+    cfg_dict.pop("tie_word_embeddings", None)
+    (tmp_path / "config.json").write_text(json.dumps(cfg_dict))
+
+    # the raw config default is now False (HF semantics)...
+    assert config_from_hf(cfg_dict).tie_embeddings is False
+    # ...but the loader sees no lm_head.weight in the shards and ties
+    params, cfg = load_hf_checkpoint(str(tmp_path), dtype=jnp.float32)
+    assert cfg.tie_embeddings is True
+    assert "lm_head" not in params
+
+    # untied state dict with omitted key -> stays untied, lm_head kept
+    state = {k: v.float().numpy() for k, v in model.state_dict().items()}
+    state["lm_head.weight"] = state["model.embed_tokens.weight"].copy()
+    import dataclasses
+
+    untied_cfg = dataclasses.replace(cfg, tie_embeddings=False)
+    params2 = hf_state_dict_to_params(state, untied_cfg, dtype=jnp.float32)
+    assert "lm_head" in params2
+
+    # untied config with no lm_head in the shards is an error, not silence
+    state.pop("lm_head.weight")
+    with pytest.raises(ValueError, match="no lm_head.weight"):
+        hf_state_dict_to_params(state, untied_cfg, dtype=jnp.float32)
+
+
+def test_unsupported_rope_scaling_rejected(hf_model):
+    _, hf_cfg = hf_model
+    d = hf_cfg.to_dict()
+    d["rope_scaling"] = {"rope_type": "linear", "factor": 2.0}
+    with pytest.raises(ValueError, match="rope_scaling"):
+        config_from_hf(d)
+
+
 def test_vocab_padding_and_missing_layer_errors(hf_model):
     model, hf_cfg = hf_model
     cfg = config_from_hf(hf_cfg.to_dict())
