@@ -13,7 +13,10 @@ levels.  This package implements:
   folding) so real `snac_24khz` weights can be dropped in.
 - ``streaming``: the fixed-latency sliding-window hop decoder that
   reproduces the reference's 49/28/7-token window and 2048-sample hop
-  contract.
+  contract (adapter-level use; parity mode is the golden-trace oracle).
+- ``stream_decode``: the stateful O(1)-context streaming decoder the
+  serving engine uses — cached per-layer activation tails, 4-frame hop
+  windows, exact prefix-decode output, batched lanes with commit masks.
 """
 
 from .snac_config import SNACConfig
@@ -27,8 +30,18 @@ from .frames import (
 from .snac_jax import snac_decode, snac_encode
 from .weights import init_snac_params
 from .streaming import StreamingSnacDecoder, HOP_SAMPLES
+from .stream_decode import (
+    StreamPlanner,
+    init_stream_state,
+    reset_lanes,
+    snac_stream_step,
+)
 
 __all__ = [
+    "StreamPlanner",
+    "init_stream_state",
+    "reset_lanes",
+    "snac_stream_step",
     "SNACConfig",
     "FRAME_TOKENS",
     "tokens_to_codes",

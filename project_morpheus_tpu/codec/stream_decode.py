@@ -30,14 +30,17 @@ Reference counterpart: tokens_decoder's 49-token sliding window
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .frames import tokens_to_codes
+from .frames import FRAME_TOKENS, tokens_to_codes
 from .snac_config import SNACConfig
 from .snac_jax import rvq_from_codes, snake
 
@@ -160,15 +163,20 @@ def snac_stream_step(
     params,
     window_tokens: jnp.ndarray,  # (B, WINDOW_FRAMES * 7) int32 code entries
     state: State,
-    commit: jnp.ndarray,          # (B,) bool — lanes with real work
+    commit: jnp.ndarray,          # (B,) bool — lanes advancing their state
     *,
     cfg: SNACConfig,
 ) -> Tuple[jnp.ndarray, State]:
     """One streaming hop for a batch of lanes.
 
-    Returns int16 PCM ``(B, frame_samples)`` for window slot ``EMIT_SLOT``
-    and the advanced state.  Lanes with ``commit=False`` produce garbage
-    output (discarded by the caller) and keep their state untouched.
+    Returns int16 PCM ``(B, WINDOW_FRAMES * frame_samples)`` — the FULL
+    window's samples — and the advanced state.  Steady-state callers keep
+    slot ``EMIT_SLOT`` (frame t-2, two frames of real lookahead); the
+    stream head/tail extract other slots from the same dispatch (see
+    ``StreamPlanner``), so no extra programs are compiled for edges.
+    Lanes with ``commit=False`` keep their state untouched (their output
+    is still computed against the current state — used for head/flush
+    emissions that must not advance the frontier).
     """
     ns: State = {}
     dec = params["decoder"]
@@ -231,7 +239,85 @@ def snac_stream_step(
         dec["out_w"], dec["out_b"], dilation=1, depthwise=False,
     )
     x = jnp.tanh(x)[..., 0]  # (B, window samples)
+    return (x * 32767.0).astype(jnp.int16), ns
 
-    hop = cfg.frame_samples
-    pcm = x[:, EMIT_SLOT * hop : (EMIT_SLOT + 1) * hop]
-    return (pcm * 32767.0).astype(jnp.int16), ns
+
+# ------------------------------------------------------------- host planner
+
+
+@dataclasses.dataclass(frozen=True)
+class Hop:
+    """One lane's work for a ``snac_stream_step`` dispatch.
+
+    ``emits`` lists ``(frame_index, window_slot)`` pairs: which window
+    slots of this hop's full-window PCM to route out, in frame order.
+    """
+
+    window: np.ndarray  # (WINDOW_FRAMES * 7,) int32 codebook entries
+    commit: bool
+    emits: Tuple[Tuple[int, int], ...]
+
+
+class StreamPlanner:
+    """Host-side hop scheduler for one stream (one engine slot lane).
+
+    Emission schedule (mirrors the windowed native mode's latency,
+    reference speechpipe.py:191-260, with exact cached-tail context):
+
+    - frame 0 is emitted as soon as its 7 codes arrive, from a head hop
+      ``[f0 f0 f0 f0]`` with ``commit=False`` — exact zero left context
+      (the untouched zero state), replicated right context (the same
+      approximation the reference's first chunk makes);
+    - frame t-2 is emitted at each steady hop ``[t-3 .. t]`` from window
+      slot ``EMIT_SLOT`` with ``commit=True`` (state advances one frame)
+      — exactly ``snac_decode(frames[0..t])`` at that position;
+    - flush emits every not-yet-emitted tail frame from ONE extra
+      ``commit=False`` hop over the last window (at most 3 frames are
+      ever pending, all inside it).  A trailing partial frame is padded
+      by repeating its last code (reference :262-293).
+    """
+
+    def __init__(self) -> None:
+        self.frames: List[np.ndarray] = []
+        self.partial: List[int] = []
+        self.emitted = 0  # frames [0, emitted) already routed out
+
+    def push(self, code: int) -> List[Hop]:
+        """Feed one codebook entry; returns hops to dispatch (0 or 1)."""
+        self.partial.append(int(code))
+        if len(self.partial) < FRAME_TOKENS:
+            return []
+        self.frames.append(np.asarray(self.partial, np.int32))
+        self.partial = []
+        return self._on_frame()
+
+    def _on_frame(self) -> List[Hop]:
+        t = len(self.frames) - 1
+        if t == 0:
+            self.emitted = 1
+            return [Hop(np.tile(self.frames[0], WINDOW_FRAMES), False, ((0, 0),))]
+        if t < WINDOW_FRAMES - 1:
+            return []  # frames 1,2 wait for their 2-frame lookahead
+        window = np.concatenate(self.frames[t - 3 : t + 1])
+        self.emitted = t - 1
+        return [Hop(window, True, ((t - 2, EMIT_SLOT),))]
+
+    def flush(self) -> List[Hop]:
+        """End of stream: one hop draining all unemitted tail frames."""
+        if self.partial:
+            pad = self.partial[-1]
+            self.partial += [pad] * (FRAME_TOKENS - len(self.partial))
+            self.frames.append(np.asarray(self.partial, np.int32))
+            self.partial = []
+        T = len(self.frames) - 1
+        if T < 0 or self.emitted > T:
+            return []
+        lo = max(T - (WINDOW_FRAMES - 1), 0)
+        win = self.frames[lo : T + 1]
+        win = win + [self.frames[-1]] * (WINDOW_FRAMES - len(win))
+        emits = tuple(
+            (f, f - lo) for f in range(max(self.emitted, lo), T + 1)
+        )
+        assert self.emitted >= lo, "tail frames fell outside the flush window"
+        self.emitted = T + 1
+        return [Hop(np.concatenate(win), False, emits)]

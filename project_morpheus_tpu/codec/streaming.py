@@ -22,8 +22,10 @@ Two modes:
   immediately after 7 tokens (real audio, not empty), matching the
   reference's latency intent without its discontinuities.
 
-The decode window is recomputed per hop (like the reference); incremental
-conv-state caching is a later optimisation layered under the same API.
+The decode window is recomputed per hop (like the reference).  The serving
+engine instead uses ``stream_decode`` (cached conv tails, 4-frame hops,
+exact prefix-decode output); this module remains the adapter-level decoder
+and the parity oracle for golden traces.
 """
 from __future__ import annotations
 

@@ -288,6 +288,11 @@ class OrpheusEngine:
             self.dstate = jax.device_put(
                 self.dstate, engine_state_shardings(mesh)
             )
+        self._snac_state = None
+        if codec is not None:
+            from ..codec.stream_decode import init_stream_state
+
+            self._snac_state = init_stream_state(codec[1], B)
         self._key = jax.random.key(seed)
         self.attn_impl = self.ecfg.attn_impl
         if self.attn_impl == "auto":
@@ -323,12 +328,10 @@ class OrpheusEngine:
         if audio:
             if not self.supports_audio:
                 raise ValueError("engine built without a codec; audio mode off")
-            from ..codec.streaming import StreamingSnacDecoder
+            from ..codec.stream_decode import StreamPlanner
 
             req.audio = True
-            req.planner = StreamingSnacDecoder(
-                self._codec[0], self._codec[1], mode="native"
-            )
+            req.planner = StreamPlanner()
         await self._pending.put(req)
         self._wake.set()
         self._ensure_running()
@@ -381,6 +384,14 @@ class OrpheusEngine:
         req.slot = slot
         req.state = RequestState.PREFILLING
         self._by_slot[slot] = req
+        if req.audio:
+            # fresh codec lane: zero tails = the stream-head padding of a
+            # full decode (stream_decode.init_stream_state)
+            from ..codec.stream_decode import reset_lanes
+
+            mask = np.zeros((self.ecfg.max_slots,), bool)
+            mask[slot] = True
+            self._snac_state = reset_lanes(self._snac_state, jnp.asarray(mask))
 
         ids = req.prompt_ids[-self.ecfg.max_seq_len // 2 :]
         req.ctx_len = len(ids)
@@ -494,7 +505,7 @@ class OrpheusEngine:
         if toks_host.ndim == 1:
             toks_host = toks_host[None, :]
         self.steps += toks_host.shape[0]
-        pending_windows: List[tuple] = []  # (req, window np.ndarray)
+        pending_hops: List[tuple] = []  # (slot, req, stream_decode.Hop)
         finished_audio: List[Request] = []
         for step_row in toks_host:
             for slot, req in slot_map.items():
@@ -513,14 +524,14 @@ class OrpheusEngine:
                     code = audio_code_from_token_id(token, req.audio_pos)
                     if code is not None:
                         req.audio_pos += 1
-                        for w in req.planner.plan_push([code]):
-                            pending_windows.append((req, w))
+                        for h in req.planner.push(code):
+                            pending_hops.append((slot, req, h))
                     if req.done:
-                        for w in req.planner.plan_flush():
-                            pending_windows.append((req, w))
+                        for h in req.planner.flush():
+                            pending_hops.append((slot, req, h))
                         finished_audio.append(req)
-        if pending_windows:
-            self._decode_audio_windows(pending_windows)
+        if pending_hops:
+            self._run_audio_hops(pending_hops)
         for req in finished_audio:
             req.pcm_queue.put_nowait(None)
 
@@ -564,27 +575,51 @@ class OrpheusEngine:
         if inflight is not None:
             self._process_frame(*inflight)
 
-    def _decode_audio_windows(self, pending: List[tuple]) -> None:
-        """One batched SNAC dispatch per group of pending hop windows."""
-        from ..codec.streaming import decode_windows_batched
+    def _run_audio_hops(self, pending: List[tuple]) -> None:
+        """Dispatch the stateful streaming SNAC decoder for pending hops.
+
+        Each lane (= engine slot) carries cached per-layer activation
+        tails (codec/stream_decode.py), so every hop decodes a static
+        4-frame window — vs 7 for the windowed recompute this replaces —
+        and mid-stream frames are EXACT prefix-decode values.  All lanes'
+        hops for one engine frame run in ONE dispatch with per-lane
+        commit masks; a lane needing several hops (EOS flush after a
+        steady hop) takes one extra round.
+        """
+        from ..codec.stream_decode import FRAME_TOKENS  # noqa: F401
+        from ..codec.stream_decode import WINDOW_FRAMES, snac_stream_step
 
         snac_params, snac_cfg = self._codec
         B = self.ecfg.max_slots
-        emit_lo = 4 * snac_cfg.frame_samples
-        emit_hi = 5 * snac_cfg.frame_samples
-        for i in range(0, len(pending), B):
-            group = pending[i : i + B]
-            arr = np.zeros((B, 49), np.int32)
-            for j, (_, w) in enumerate(group):
-                arr[j] = w
-            pcm = np.asarray(
-                decode_windows_batched(
-                    snac_params,
-                    jnp.asarray(arr),
-                    cfg=snac_cfg,
-                    emit_lo=emit_lo,
-                    emit_hi=emit_hi,
-                )
+        hop_samples = snac_cfg.frame_samples
+        W = pending[0][2].window.shape[0]
+
+        by_slot: Dict[int, List[tuple]] = {}
+        for slot, req, h in pending:
+            by_slot.setdefault(slot, []).append((req, h))
+        rounds = max(len(v) for v in by_slot.values())
+        for r in range(rounds):
+            windows = np.zeros((B, W), np.int32)
+            commit = np.zeros((B,), bool)
+            emits: List[tuple] = []  # (slot, req, window_slot)
+            for slot, lst in by_slot.items():
+                if r >= len(lst):
+                    continue
+                req, h = lst[r]
+                windows[slot] = h.window
+                commit[slot] = h.commit
+                for _frame_idx, ws in h.emits:
+                    emits.append((slot, req, ws))
+            pcm, self._snac_state = snac_stream_step(
+                snac_params,
+                jnp.asarray(windows),
+                self._snac_state,
+                jnp.asarray(commit),
+                cfg=snac_cfg,
             )
-            for j, (req, _) in enumerate(group):
-                req.pcm_queue.put_nowait(pcm[j].tobytes())
+            pcm_np = np.asarray(pcm)
+            for slot, req, ws in emits:
+                req.pcm_queue.put_nowait(
+                    pcm_np[slot, ws * hop_samples : (ws + 1) * hop_samples]
+                    .tobytes()
+                )

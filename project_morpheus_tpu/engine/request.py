@@ -39,7 +39,7 @@ class Request:
     # audio mode (engine-side batched SNAC decode): PCM16 byte hops
     audio: bool = False
     audio_pos: int = 0
-    planner: Optional[object] = None  # StreamingSnacDecoder used for planning
+    planner: Optional[object] = None  # stream_decode.StreamPlanner (audio mode)
     pcm_queue: "asyncio.Queue[Optional[bytes]]" = field(
         default_factory=asyncio.Queue
     )

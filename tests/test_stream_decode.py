@@ -51,11 +51,12 @@ def test_stream_equals_prefix_decode(cfg, params):
 
     state = init_stream_state(cfg, 1)
     commit = jnp.ones((1,), bool)
+    hop = cfg.frame_samples
     for t in range(3, N):
         window = jnp.asarray(frames[t - 3 : t + 1].reshape(1, -1))
         pcm, state = snac_stream_step(params, window, state, commit, cfg=cfg)
         want = _prefix_oracle(params, frames, t, cfg)
-        got = np.asarray(pcm[0])
+        got = np.asarray(pcm[0, EMIT_SLOT * hop : (EMIT_SLOT + 1) * hop])
         # int16 rounding at fp32: allow off-by-one LSB from reassociation
         assert np.max(np.abs(got.astype(np.int32) - want.astype(np.int32))) <= 1, (
             f"hop t={t}: max err "
@@ -86,7 +87,9 @@ def test_masked_lane_keeps_state_and_batch_matches_single(cfg, params):
         )
         p1, s1 = snac_stream_step(params, w1, s1, ones, cfg=cfg)
         p2, s2 = snac_stream_step(params, w2, s2, mask, cfg=cfg)
-        np.testing.assert_array_equal(np.asarray(p1[0]), np.asarray(p2[0]))
+        hop = cfg.frame_samples
+        sl = slice(EMIT_SLOT * hop, (EMIT_SLOT + 1) * hop)
+        np.testing.assert_array_equal(np.asarray(p1[0, sl]), np.asarray(p2[0, sl]))
 
     for k, v in s2.items():
         np.testing.assert_array_equal(
