@@ -157,9 +157,12 @@ class ServingRuntime:
             from ..model.quant import quantize_params_int8
 
             params = quantize_params_int8(params)
+        # reference context default is n_ctx 8192 (llama_local.py:45-46);
+        # tiny test configs stay small for hermetic speed
+        default_seq = "2048" if size == "tiny" else "8192"
         ecfg = EngineConfig(
             max_slots=int(os.environ.get("ORPHEUS_MAX_SLOTS", "8")),
-            max_seq_len=int(os.environ.get("ORPHEUS_MAX_SEQ", "2048")),
+            max_seq_len=int(os.environ.get("ORPHEUS_MAX_SEQ", default_seq)),
         )
         self.engine = OrpheusEngine(
             params, cfg, ecfg, codec=(self.snac_params, self.snac_cfg)

@@ -31,7 +31,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..model.config import LlamaConfig, ORPHEUS_SPECIAL_TOKENS
-from ..model.llama import init_kv_cache, llama_decode_step, llama_forward
+from ..model.llama import (
+    init_kv_cache,
+    llama_decode_step,
+    llama_forward,
+    llama_prefill_chunk,
+)
 from ..model.sampling import SamplingParams, sample_logits
 from .request import Request, RequestState
 
@@ -43,10 +48,14 @@ class EngineConfig:
     max_slots: int = 8
     max_seq_len: int = 2048
     prefill_buckets: Tuple[int, ...] = (32, 64, 128, 256, 512, 1024)
+    # prompts longer than the largest prefill bucket are written in
+    # fixed-size chunks, each attending to the cache history — no prompt
+    # truncation up to max_seq_len (reference n_ctx 8192)
+    prefill_chunk: int = 1024
     # context buckets for the decode step: attention reads only the bucket
     # prefix of the KV cache, so HBM traffic follows the longest LIVE
     # context instead of allocated capacity (DECISIONS r1-011)
-    context_buckets: Tuple[int, ...] = (256, 512, 1024, 2048)
+    context_buckets: Tuple[int, ...] = (256, 512, 1024, 2048, 4096, 8192)
     cache_dtype: str = "bfloat16"
     attn_impl: str = "auto"  # auto -> dense bucketed einsum (fastest measured)
     steps_per_sync: int = 0  # 0/auto -> 7 on TPU (one SNAC frame), 1 elsewhere
@@ -114,6 +123,70 @@ def _prefill(
     dstate["cache"] = cache
     dstate["presence"] = presence
     dstate["lengths"] = dstate["lengths"].at[slot].set(length)
+    dstate["active"] = dstate["active"].at[slot].set(True)
+    dstate["last_tokens"] = dstate["last_tokens"].at[slot].set(first)
+    dstate["temp"] = dstate["temp"].at[slot].set(samp[0])
+    dstate["top_p"] = dstate["top_p"].at[slot].set(samp[1])
+    dstate["rep_pen"] = dstate["rep_pen"].at[slot].set(samp[2])
+    return dstate, first
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "hist_bucket", "sample"),
+    donate_argnums=(1,),
+)
+def _prefill_chunk(
+    params,
+    dstate,
+    tokens: jnp.ndarray,      # (S,) one (padded) prompt chunk
+    length: jnp.ndarray,      # () real tokens in this chunk
+    offset: jnp.ndarray,      # () chunk start position
+    slot: jnp.ndarray,        # () target slot
+    samp: jnp.ndarray,        # (3,) temperature, top_p, repetition_penalty
+    key: jax.Array,
+    *,
+    cfg: LlamaConfig,
+    hist_bucket: int,
+    sample: bool,
+):
+    """Write one prompt chunk; on the final chunk, sample the first token."""
+    S = tokens.shape[0]
+    logits, cache = llama_prefill_chunk(
+        params,
+        tokens,
+        cfg,
+        dstate["cache"],
+        offset,
+        slot,
+        length,
+        hist_bucket=hist_bucket,
+    )
+    # mark this chunk's real tokens seen for the repetition penalty
+    presence = dstate["presence"]
+    mask = jnp.arange(S) < length
+    row = presence[slot]
+    row = row.at[tokens].set(jnp.where(mask, True, row[tokens]))
+    presence = presence.at[slot].set(row)
+
+    dstate = dict(dstate)
+    dstate["cache"] = cache
+    if not sample:
+        dstate["presence"] = presence
+        return dstate, jnp.zeros((), jnp.int32) - 1
+
+    first = sample_logits(
+        logits[None],
+        key,
+        temperature=samp[0][None],
+        top_p=samp[1][None],
+        repetition_penalty=samp[2][None],
+        presence=presence[slot][None],
+        vocab_size=cfg.vocab_size,
+    )[0]
+    presence = presence.at[slot, first].set(True)
+    dstate["presence"] = presence
+    dstate["lengths"] = dstate["lengths"].at[slot].set(offset + length)
     dstate["active"] = dstate["active"].at[slot].set(True)
     dstate["last_tokens"] = dstate["last_tokens"].at[slot].set(first)
     dstate["temp"] = dstate["temp"].at[slot].set(samp[0])
@@ -393,11 +466,19 @@ class OrpheusEngine:
             mask[slot] = True
             self._snac_state = reset_lanes(self._snac_state, jnp.asarray(mask))
 
-        ids = req.prompt_ids[-self.ecfg.max_seq_len // 2 :]
+        ids = req.prompt_ids
+        # a prompt may fill the context up to the generation-safety margin;
+        # anything beyond keeps its most recent tokens (reference n_ctx
+        # semantics: llama_local.py:45-46 — but no silent //2 truncation)
+        margin = self.steps_per_sync * (1 + max(self.ecfg.pipeline_depth, 0))
+        max_prompt = self.ecfg.max_seq_len - margin - 2
+        if len(ids) > max_prompt:
+            logger.warning(
+                "prompt of %d tokens exceeds context window; keeping the "
+                "last %d", len(ids), max_prompt,
+            )
+            ids = ids[-max_prompt:]
         req.ctx_len = len(ids)
-        bucket = _bucket_for(len(ids), self.ecfg.prefill_buckets)
-        padded = np.zeros((1, bucket), np.int32)
-        padded[0, : len(ids)] = ids
         samp = np.asarray(
             [
                 req.sampling.temperature,
@@ -406,18 +487,80 @@ class OrpheusEngine:
             ],
             np.float32,
         )
-        self.dstate, first = _prefill(
+        top_bucket = max(self.ecfg.prefill_buckets)
+        if len(ids) <= top_bucket:
+            # single-shot prefill (intra-prompt causal program)
+            bucket = _bucket_for(len(ids), self.ecfg.prefill_buckets)
+            padded = np.zeros((1, bucket), np.int32)
+            padded[0, : len(ids)] = ids
+            self.dstate, first = _prefill(
+                self.params,
+                self.dstate,
+                jnp.asarray(padded),
+                jnp.asarray(len(ids), jnp.int32),
+                jnp.asarray(slot, jnp.int32),
+                jnp.asarray(samp),
+                self._split_key(),
+                cfg=self.cfg,
+            )
+        else:
+            first = self._chunked_prefill(ids, slot, samp)
+        req.state = RequestState.DECODING
+        self._deliver(req, int(first))
+
+    def _hist_bucket(self, need: int) -> int:
+        """Smallest static history bucket covering ``need`` positions."""
+        for b in sorted(self.ecfg.context_buckets):
+            if need <= b <= self.ecfg.max_seq_len:
+                return b
+        return self.ecfg.max_seq_len
+
+    def _chunked_prefill(self, ids: Sequence[int], slot: int, samp) -> int:
+        """Write a long prompt in fixed-size chunks; sample on the last.
+
+        Each chunk attends to all previously written history, so the
+        result is identical to a single full-causal prefill — without a
+        fresh O(S²) program per prompt length and without truncation.
+        """
+        chunk = self.ecfg.prefill_chunk
+        n_full = (len(ids) - 1) // chunk  # final chunk is never empty
+        slot_arr = jnp.asarray(slot, jnp.int32)
+        samp_arr = jnp.asarray(samp)
+        offset = 0
+        for _ in range(n_full):
+            part = np.asarray(ids[offset : offset + chunk], np.int32)
+            self.dstate, _ = _prefill_chunk(
+                self.params,
+                self.dstate,
+                jnp.asarray(part),
+                jnp.asarray(chunk, jnp.int32),
+                jnp.asarray(offset, jnp.int32),
+                slot_arr,
+                samp_arr,
+                self._split_key(),
+                cfg=self.cfg,
+                hist_bucket=self._hist_bucket(offset + chunk),
+                sample=False,
+            )
+            offset += chunk
+        rest = ids[offset:]
+        bucket = _bucket_for(len(rest), self.ecfg.prefill_buckets)
+        padded = np.zeros((bucket,), np.int32)
+        padded[: len(rest)] = rest
+        self.dstate, first = _prefill_chunk(
             self.params,
             self.dstate,
             jnp.asarray(padded),
-            jnp.asarray(len(ids), jnp.int32),
-            jnp.asarray(slot, jnp.int32),
-            jnp.asarray(samp),
+            jnp.asarray(len(rest), jnp.int32),
+            jnp.asarray(offset, jnp.int32),
+            slot_arr,
+            samp_arr,
             self._split_key(),
             cfg=self.cfg,
+            hist_bucket=self._hist_bucket(offset + bucket),
+            sample=True,
         )
-        req.state = RequestState.DECODING
-        self._deliver(req, int(first))
+        return int(first)
 
     def _deliver(self, req: Request, token: int) -> None:
         """Route one sampled token to the request, handling stop conditions."""

@@ -17,7 +17,13 @@ pure-JAX forward with:
 """
 
 from .config import LlamaConfig, ORPHEUS_SPECIAL_TOKENS
-from .llama import init_llama_params, llama_forward, llama_decode_step, init_kv_cache
+from .llama import (
+    init_llama_params,
+    llama_forward,
+    llama_decode_step,
+    llama_prefill_chunk,
+    init_kv_cache,
+)
 from .sampling import SamplingParams, sample_logits, init_sampler_state
 from .tokenizer import ByteTokenizer, format_prompt_ids
 
@@ -27,6 +33,7 @@ __all__ = [
     "init_llama_params",
     "llama_forward",
     "llama_decode_step",
+    "llama_prefill_chunk",
     "init_kv_cache",
     "SamplingParams",
     "sample_logits",

@@ -168,6 +168,7 @@ def llama_forward(
     lora: Optional[Params] = None,  # low-rank adapters (training/lora.py)
     lora_scale: float = 1.0,
     attn_impl: str = "dense",  # "dense" | "blockwise" (O(S*block) memory)
+    remat: bool = False,  # rematerialise each layer in the backward pass
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Full-sequence forward (training / prefill).
 
@@ -227,7 +228,11 @@ def llama_forward(
         return x, (k, v)
 
     scan_in = (lp, lora["layers"]) if lora is not None else lp
-    x, kv = lax.scan(layer, x, scan_in)
+    # jax.checkpoint trades FLOPs for HBM: only layer-boundary residuals are
+    # kept live for the backward pass (the long-sequence training recipe;
+    # reference trains seq 8192 under flash-attn, pretrain/train.py:142,170)
+    layer_fn = jax.checkpoint(layer) if remat else layer
+    x, kv = lax.scan(layer_fn, x, scan_in)
 
     x = rmsnorm(x, params["ln_f"], cfg.rms_eps)
     head = params.get("lm_head")
@@ -308,6 +313,90 @@ def _mlp(h, wl, cfg: LlamaConfig):
             h, wl["wu"]
         )
     return matmul_maybe_quant(act, wl["wd"])
+
+
+def llama_prefill_chunk(
+    params: Params,
+    tokens: jnp.ndarray,   # (S,) int32 — one chunk of one slot's prompt
+    cfg: LlamaConfig,
+    cache: KVCache,
+    offset: jnp.ndarray,   # () int32 — chunk start position in the context
+    slot: jnp.ndarray,     # () int32 — target cache lane
+    length: jnp.ndarray,   # () int32 — real tokens in this (padded) chunk
+    *,
+    hist_bucket: int,      # static: attention reads cache[:hist_bucket]
+) -> Tuple[jnp.ndarray, KVCache]:
+    """One prompt chunk against the KV history already in the cache.
+
+    The building block of chunked prefill: long prompts (up to the
+    reference's n_ctx 8192, llama_local.py:45-46) are written chunk by
+    chunk, each chunk attending to every previously-written position plus
+    causally to itself — so no prompt truncation and no O(S²) single-shot
+    program at 8k.  Only full chunks may precede the final one; the final
+    chunk may be padded, with ``length`` marking its real extent (garbage
+    K/V beyond ``offset+length`` lands at positions >= the total prompt
+    length, which decode masks via ``lengths``).
+
+    Returns fp32 logits of the LAST real position ``(padded_vocab,)`` —
+    callers sample the first generated token from the final chunk — and
+    the updated cache.  Same carry-based layer loop as the decode step so
+    the donated cache stays in place.
+    """
+    S = tokens.shape[0]
+    KV, HD = cfg.num_kv_heads, cfg.head_dim
+    G = cfg.num_heads // KV
+    inv_freqs = rope_inv_freqs(cfg)
+    positions = (offset + jnp.arange(S, dtype=jnp.int32))[None, :]  # (1, S)
+    x = embed_lookup(params["embed"], tokens[None, :], dtype=params["ln_f"].dtype)
+
+    key_pos = jnp.arange(hist_bucket)  # (hist,)
+    qmask = key_pos[None, :] <= positions[0][:, None]  # (S, hist) causal+hist
+
+    lp = params["layers"]
+
+    def layer_body(i, carry):
+        x, k_cache, v_cache = carry
+        wl = jax.tree.map(lambda a: a[i], lp)
+        h = rmsnorm(x, wl["ln1"], cfg.rms_eps)
+        q, k, v = _project_qkv(h, wl, cfg)  # (1, S, H/KV, HD)
+        q = apply_rope(q, positions, inv_freqs)
+        k = apply_rope(k, positions, inv_freqs)
+        kw = jnp.swapaxes(k, 1, 2).astype(k_cache.dtype)[None]  # (1,1,KV,S,HD)
+        vw = jnp.swapaxes(v, 1, 2).astype(v_cache.dtype)[None]
+        k_cache = lax.dynamic_update_slice(k_cache, kw, (i, slot, 0, offset, 0))
+        v_cache = lax.dynamic_update_slice(v_cache, vw, (i, slot, 0, offset, 0))
+        k_s = lax.dynamic_slice(
+            k_cache, (i, slot, 0, 0, 0), (1, 1, KV, hist_bucket, HD)
+        )[0, 0]
+        v_s = lax.dynamic_slice(
+            v_cache, (i, slot, 0, 0, 0), (1, 1, KV, hist_bucket, HD)
+        )[0, 0]
+        qg = q[0].reshape(S, KV, G, HD)
+        scores = jnp.einsum(
+            "skgd,khd->kgsh", qg, k_s, preferred_element_type=jnp.float32
+        ) * (HD**-0.5)
+        scores = jnp.where(qmask[None, None], scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1)
+        attn = jnp.einsum(
+            "kgsh,khd->skgd", probs.astype(v_s.dtype), v_s,
+            preferred_element_type=jnp.float32,
+        ).reshape(1, S, cfg.num_heads * HD).astype(x.dtype)
+        x = x + matmul_maybe_quant(attn, wl["wo"])
+        h = rmsnorm(x, wl["ln2"], cfg.rms_eps)
+        x = x + _mlp(h, wl, cfg)
+        return x, k_cache, v_cache
+
+    x, new_k, new_v = lax.fori_loop(
+        0, cfg.num_layers, layer_body, (x, cache["k"], cache["v"])
+    )
+    x_last = lax.dynamic_slice(x, (0, length - 1, 0), (1, 1, x.shape[-1]))[0, 0]
+    x_last = rmsnorm(x_last, params["ln_f"], cfg.rms_eps)
+    head = params.get("lm_head")
+    if head is None:
+        logits = tied_lm_head_logits(x_last[None], params["embed"])[0]
+    else:
+        logits = matmul_maybe_quant(x_last[None], head).astype(jnp.float32)[0]
+    return logits, {"k": new_k, "v": new_v}
 
 
 def llama_decode_step(

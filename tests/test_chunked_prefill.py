@@ -1,0 +1,122 @@
+"""Chunked prefill: identical results to a single full-causal prefill.
+
+Long prompts (up to the reference's n_ctx 8192, llama_local.py:45-46) are
+written chunk by chunk, each attending to cache history.  The invariants:
+
+- the KV cache after chunked writes equals the single-shot cache;
+- the final-position logits match, so the first sampled token's
+  distribution is unchanged;
+- the engine accepts prompts longer than its largest prefill bucket with
+  no truncation (ctx_len == prompt length) and decodes normally.
+"""
+import asyncio
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from project_morpheus_tpu.model import (
+    LlamaConfig,
+    init_kv_cache,
+    init_llama_params,
+    llama_forward,
+    llama_prefill_chunk,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = LlamaConfig.tiny_vocab()
+    params = init_llama_params(cfg, jax.random.key(0), dtype=jnp.float32)
+    return cfg, params
+
+
+def test_chunk_kernel_matches_full_forward(setup):
+    cfg, params = setup
+    rng = np.random.default_rng(0)
+    n = 45
+    prompt = rng.integers(1, cfg.vocab_size, size=(n,)).astype(np.int32)
+
+    # single-shot: full forward writing the cache
+    cache_a = init_kv_cache(cfg, 2, 64, jnp.float32)
+    logits_a, cache_a = llama_forward(
+        params,
+        jnp.asarray(prompt[None, :]),
+        cfg,
+        cache=cache_a,
+        cache_offset=jnp.zeros((1,), jnp.int32),
+        cache_slots=jnp.asarray([1]),
+    )
+    last_a = np.asarray(logits_a[0, n - 1])
+
+    # chunked: 16 + 16 + 13 (padded to 16), history buckets 16/32/64
+    cache_b = init_kv_cache(cfg, 2, 64, jnp.float32)
+    chunk = 16
+    offset = 0
+    for lo in range(0, 32, chunk):
+        _, cache_b = llama_prefill_chunk(
+            params,
+            jnp.asarray(prompt[lo : lo + chunk]),
+            cfg,
+            cache_b,
+            jnp.asarray(lo, jnp.int32),
+            jnp.asarray(1, jnp.int32),
+            jnp.asarray(chunk, jnp.int32),
+            hist_bucket=lo + chunk,
+        )
+        offset = lo + chunk
+    rest = prompt[offset:]
+    padded = np.zeros((chunk,), np.int32)
+    padded[: len(rest)] = rest
+    logits_b, cache_b = llama_prefill_chunk(
+        params,
+        jnp.asarray(padded),
+        cfg,
+        cache_b,
+        jnp.asarray(offset, jnp.int32),
+        jnp.asarray(1, jnp.int32),
+        jnp.asarray(len(rest), jnp.int32),
+        hist_bucket=64,
+    )
+
+    np.testing.assert_allclose(np.asarray(logits_b), last_a, atol=2e-4, rtol=2e-3)
+    # cache contents over the real prompt extent must agree (slot 1)
+    for name in ("k", "v"):
+        a = np.asarray(cache_a[name])[:, 1, :, :n]
+        b = np.asarray(cache_b[name])[:, 1, :, :n]
+        np.testing.assert_allclose(b, a, atol=2e-4, rtol=2e-3, err_msg=name)
+    # the untouched slot stays zero
+    assert float(np.abs(np.asarray(cache_b["k"])[:, 0]).max()) == 0.0
+
+
+def test_engine_long_prompt_no_truncation(setup):
+    from project_morpheus_tpu.engine import EngineConfig, OrpheusEngine
+    from project_morpheus_tpu.model.sampling import SamplingParams
+
+    cfg, params = setup
+    eng = OrpheusEngine(
+        params,
+        cfg,
+        EngineConfig(
+            max_slots=2,
+            max_seq_len=128,
+            prefill_buckets=(16,),
+            prefill_chunk=16,
+            context_buckets=(32, 64, 128),
+            cache_dtype="float32",
+            steps_per_sync=1,
+        ),
+    )
+    rng = np.random.default_rng(1)
+    prompt = rng.integers(1, cfg.vocab_size, size=(70,)).tolist()
+
+    async def go():
+        req = await eng.submit(prompt, SamplingParams(max_tokens=10))
+        toks = [t async for t in req.tokens()]
+        await eng.close()
+        return req, toks
+
+    req, toks = asyncio.run(go())
+    assert req.ctx_len == 70  # longer than every prefill bucket, untruncated
+    assert 1 <= len(toks) <= 10
