@@ -12,7 +12,12 @@ The reference's parallelism inventory maps to JAX as:
 PP/EP/ring-attention are explicit non-goals, matching the reference.
 """
 
-from .mesh import make_mesh, mesh_shape_for
+from .mesh import (
+    initialize_distributed,
+    make_mesh,
+    make_multihost_mesh,
+    mesh_shape_for,
+)
 from .sharding import (
     param_shardings,
     kv_cache_shardings,
@@ -22,7 +27,9 @@ from .sharding import (
 )
 
 __all__ = [
+    "initialize_distributed",
     "make_mesh",
+    "make_multihost_mesh",
     "mesh_shape_for",
     "param_shardings",
     "kv_cache_shardings",

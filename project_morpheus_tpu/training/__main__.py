@@ -32,12 +32,21 @@ def main(argv=None) -> int:
     cfg_dict = _load_yaml(args.config)
 
     import jax
+
+    from ..parallel import initialize_distributed
+
+    # multi-host entry: no-op unless JAX_COORDINATOR_ADDRESS /
+    # JAX_NUM_PROCESSES / JAX_PROCESS_ID (or a Cloud TPU pod) configure a
+    # process group — the reference's `accelerate launch` multinode
+    # equivalent (pretrain/readme.md:23)
+    initialize_distributed()
+
     import jax.numpy as jnp
 
     from ..model import LlamaConfig, init_llama_params
-    from ..parallel import make_mesh
+    from ..parallel import make_mesh, make_multihost_mesh
     from .pretrain import TrainConfig, train_loop
-    from .data import BatchedRatioDataset
+    from .data import BatchedRatioDataset, shard_for_rank
 
     size = cfg_dict.get("model_size", "tiny")
     model_cfg = {
@@ -64,15 +73,27 @@ def main(argv=None) -> int:
             model_cfg, jax.random.key(int(cfg_dict.get("seed", 0))),
             dtype=jnp.bfloat16 if cfg_dict.get("bf16", True) else jnp.float32,
         )
-    mesh = make_mesh(model=int(cfg_dict.get("tensor_parallel", 1)))
+    tp = int(cfg_dict.get("tensor_parallel", 1))
+    if jax.process_count() > 1:
+        mesh = make_multihost_mesh(model=tp)
+    else:
+        mesh = make_mesh(model=tp)
 
     def log(rec):
-        print(json.dumps(rec), flush=True)
+        # rank-0 logging, like the reference's rank0 wandb stream
+        if jax.process_index() == 0:
+            print(json.dumps(rec), flush=True)
 
     batch_size = int(cfg_dict.get("batch_size", 1))
     if args.cmd == "pretrain":
         text = _load_jsonl(cfg_dict["text_data"])
         audio = _load_jsonl(cfg_dict["audio_data"])
+        if jax.process_count() > 1:
+            # per-process strided shard (the reference's
+            # AlternatingDistributedSampler, pretrain/train.py:76-84);
+            # batch_size is PER HOST — global batch = hosts x batch_size
+            text = shard_for_rank(text, jax.process_index(), jax.process_count())
+            audio = shard_for_rank(audio, jax.process_index(), jax.process_count())
         ds = BatchedRatioDataset(
             text, audio, batch_size, ratio=int(cfg_dict.get("ratio", 1))
         )

@@ -36,6 +36,15 @@ class TrainConfig:
     seq_len: int = 8192
     save_steps: int = 5000  # reference pretrain/config.yaml cadence
     log_every: int = 10
+    # "auto" switches to the O(S*block)-memory blockwise attention kernel
+    # and per-layer rematerialisation above LONG_SEQ_THRESHOLD — the TPU
+    # equivalent of the reference's flash-attention-2 training path
+    # (pretrain/train.py:170); "dense"/"blockwise" force an impl
+    attn_impl: str = "auto"
+    remat: str = "auto"  # "auto" | "on" | "off"
+
+
+LONG_SEQ_THRESHOLD = 2048  # dense O(S^2) scores stop fitting around here
 
 
 def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
@@ -54,7 +63,13 @@ def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
 
 
 def causal_lm_loss(
-    params, batch: Dict[str, jnp.ndarray], cfg: LlamaConfig, lora=None, lora_scale=1.0
+    params,
+    batch: Dict[str, jnp.ndarray],
+    cfg: LlamaConfig,
+    lora=None,
+    lora_scale=1.0,
+    attn_impl: str = "dense",
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Next-token cross entropy with -100 labels ignored."""
     logits, _ = llama_forward(
@@ -64,6 +79,8 @@ def causal_lm_loss(
         attn_mask=batch["attention_mask"],
         lora=lora,
         lora_scale=lora_scale,
+        attn_impl=attn_impl,
+        remat=remat,
     )
     logits = logits[:, :-1]
     labels = batch["labels"][:, 1:]
@@ -73,15 +90,34 @@ def causal_lm_loss(
     return jnp.sum(ll * mask) / jnp.maximum(jnp.sum(mask), 1)
 
 
+def resolve_attn(seq_len: int, attn_impl: str = "auto", remat: str = "auto"):
+    """Pick (attn_impl, remat) for a training sequence length."""
+    long = seq_len >= LONG_SEQ_THRESHOLD
+    impl = attn_impl if attn_impl != "auto" else ("blockwise" if long else "dense")
+    rm = remat == "on" or (remat == "auto" and long)
+    return impl, rm
+
+
 def make_train_step(
     cfg: LlamaConfig,
     optimizer: optax.GradientTransformation,
+    attn_impl: str = "auto",
+    remat: str = "auto",
 ) -> Callable:
-    """One jitted fwd/bwd/update step; shard params+batch before calling."""
+    """One jitted fwd/bwd/update step; shard params+batch before calling.
+
+    ``attn_impl="auto"`` resolves per traced batch shape: sequences at or
+    above ``LONG_SEQ_THRESHOLD`` use blockwise attention + remat so the
+    reference recipe (3B, seq 8192, pretrain/train.py:142) fits in HBM —
+    a dense (B, KV, G, S, S) fp32 score tensor at 8192 is tens of GB.
+    """
 
     @jax.jit
     def step(params, opt_state, batch):
-        loss, grads = jax.value_and_grad(causal_lm_loss)(params, batch, cfg)
+        impl, rm = resolve_attn(batch["input_ids"].shape[1], attn_impl, remat)
+        loss, grads = jax.value_and_grad(causal_lm_loss)(
+            params, batch, cfg, attn_impl=impl, remat=rm
+        )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -98,12 +134,19 @@ def train_loop(
     log: Optional[Callable[[Dict], None]] = None,
     checkpoint_dir: Optional[str] = None,
     collate: Optional[Callable] = None,
+    resume: bool = True,
 ) -> Tuple[object, Dict]:
     """Drive interleaved batches through the sharded step.
 
     ``batches`` yields ``{"kind": "text"|"audio", "examples": [...]}`` from
     ``BatchedRatioDataset``; losses are logged under separate text/audio
     streams keyed by kind (reference :115-126).
+
+    With ``checkpoint_dir`` set, the FULL trainer state (params, optimizer
+    state, step) is saved every ``save_steps`` and, when ``resume`` and a
+    checkpoint exists, restored — the run continues with an identical loss
+    trajectory; the data cursor is replayed deterministically by skipping
+    already-trained batches.
     """
     from .data import pad_collate
 
@@ -116,8 +159,41 @@ def train_loop(
     pshard = param_shardings(cfg, mesh, mode="fsdp")
     params = jax.device_put(params, pshard)
     opt_state = optimizer.init(params)
+    start_step = 0
+    if checkpoint_dir and resume:
+        from .checkpoint import latest_step, restore_train_state
+
+        if latest_step(checkpoint_dir) is not None:
+            restored = restore_train_state(
+                checkpoint_dir,
+                {
+                    "params": params,
+                    "opt_state": opt_state,
+                    "step": np.asarray(0, np.int64),
+                },
+                mesh=mesh,
+            )
+            params = restored["params"]
+            opt_state = restored["opt_state"]
+            start_step = int(restored["step"])
+            if log is not None:
+                log({"resumed_at_step": start_step})
     bshard = batch_shardings(mesh)
-    step_fn = make_train_step(cfg, optimizer)
+    step_fn = make_train_step(cfg, optimizer, tc.attn_impl, tc.remat)
+    multiproc = jax.process_count() > 1
+
+    def globalize(arr):
+        """Per-host batch shard -> global sharded array.
+
+        Single process: a plain sharded device_put.  Multi-host: every
+        process feeds its LOCAL batch (the caller shards examples by rank,
+        data.shard_for_rank) and the global array is assembled over DCN —
+        the pjit analogue of the reference's AlternatingDistributedSampler
+        rank striding (pretrain/train.py:76-84).
+        """
+        if not multiproc:
+            return jax.device_put(jnp.asarray(arr), bshard)
+        return jax.make_array_from_process_local_data(bshard, np.asarray(arr))
 
     history: Dict[str, list] = {"text_loss": [], "audio_loss": []}
     start = time.monotonic()
@@ -125,8 +201,11 @@ def train_loop(
     for batch_spec in batches:
         if step_idx >= tc.total_steps:
             break
+        if step_idx < start_step:
+            step_idx += 1  # deterministic data-cursor replay
+            continue
         batch = collate(batch_spec["examples"])
-        batch = {k: jax.device_put(jnp.asarray(v), bshard) for k, v in batch.items()}
+        batch = {k: globalize(v) for k, v in batch.items()}
         params, opt_state, loss = step_fn(params, opt_state, batch)
         loss_val = float(loss)
         stream = f"{batch_spec['kind']}_loss"
@@ -139,9 +218,13 @@ def train_loop(
                     "elapsed_s": time.monotonic() - start,
                 }
             )
-        if checkpoint_dir and step_idx > 0 and step_idx % tc.save_steps == 0:
-            from .checkpoint import save_params
+        if checkpoint_dir and step_idx > 0 and (step_idx + 1) % tc.save_steps == 0:
+            from .checkpoint import save_train_state
 
-            save_params(checkpoint_dir, params, step=step_idx)
+            save_train_state(checkpoint_dir, params, opt_state, step_idx + 1)
         step_idx += 1
+    if checkpoint_dir and step_idx > start_step:
+        from .checkpoint import save_train_state
+
+        save_train_state(checkpoint_dir, params, opt_state, step_idx)
     return params, history

@@ -39,6 +39,28 @@ def test_mesh_shapes():
     assert mesh.shape == {"data": 4, "model": 2}
 
 
+def test_initialize_distributed_noop_single_process(monkeypatch):
+    from project_morpheus_tpu.parallel import initialize_distributed
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    assert initialize_distributed() is False  # no group configured
+
+
+def test_make_multihost_mesh_layout():
+    from project_morpheus_tpu.parallel import make_multihost_mesh
+
+    mesh = make_multihost_mesh(model=2)
+    assert dict(mesh.shape) == {"data": jax.device_count() // 2, "model": 2}
+    # every device appears exactly once
+    ids = sorted(d.id for d in mesh.devices.flatten())
+    assert ids == sorted(d.id for d in jax.devices())
+    with pytest.raises(ValueError):
+        make_multihost_mesh(model=3)
+    with pytest.raises(ValueError):
+        make_multihost_mesh(model=jax.local_device_count() * 2)
+
+
 def test_tp_sharded_params_placement(cfg, params):
     mesh = make_mesh(model=2)
     shardings = param_shardings(cfg, mesh, mode="tp")

@@ -148,3 +148,60 @@ def test_checkpoint_restore_latest_step(cfg, params, tmp_path):
     save_params(tmp_path / "c", jax.tree.map(lambda x: x * 0, params), step=10)
     restored = restore_params(tmp_path / "c", cfg=cfg)  # picks step_10
     assert float(jnp.abs(restored["embed"]).sum()) == 0.0
+
+
+def test_kill_resume_matches_straight_run(cfg, params, tmp_path):
+    """Full trainer-state checkpointing: a run killed after 3 steps and
+    resumed finishes with the SAME parameters as an uninterrupted run —
+    optimizer moments, LR-schedule step and data cursor all restore
+    (reference consolidates full trainer state, pretrain/train.py:128-137).
+    """
+
+    def batches():
+        ex = _examples(8, length=8, seed=7) * 16
+        audio = _examples(8, length=8, seed=8) * 8
+        return iter(BatchedRatioDataset(ex, audio, batch_size=8, ratio=1))
+
+    tc = TrainConfig(
+        learning_rate=1e-3, warmup_steps=2, total_steps=6, seq_len=8,
+        save_steps=3, log_every=100,
+    )
+    mesh = make_mesh(model=1)
+
+    # uninterrupted 6-step run
+    pA, histA = train_loop(params, cfg, batches(), tc=tc, mesh=mesh)
+
+    # killed after 3 steps (saves full state at step 3)...
+    import dataclasses
+
+    tc3 = dataclasses.replace(tc, total_steps=3)
+    train_loop(params, cfg, batches(), tc=tc3, mesh=mesh,
+               checkpoint_dir=str(tmp_path / "run"))
+    # ...then resumed for the remaining 3
+    logs = []
+    pB, histB = train_loop(params, cfg, batches(), tc=tc, mesh=mesh,
+                           checkpoint_dir=str(tmp_path / "run"),
+                           log=logs.append)
+    assert any(rec.get("resumed_at_step") == 3 for rec in logs)
+    assert len(histB["text_loss"]) + len(histB["audio_loss"]) == 3
+
+    for a, b in zip(jax.tree.leaves(pA), jax.tree.leaves(pB)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_blockwise_loss_matches_dense(cfg, params):
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in pad_collate(_examples(2, 12, seed=9)).items()
+    }
+    dense = causal_lm_loss(params, batch, cfg, attn_impl="dense")
+    block = causal_lm_loss(params, batch, cfg, attn_impl="blockwise", remat=True)
+    np.testing.assert_allclose(float(dense), float(block), rtol=1e-5)
+
+
+def test_resolve_attn_auto():
+    from project_morpheus_tpu.training.pretrain import resolve_attn
+
+    assert resolve_attn(512) == ("dense", False)
+    assert resolve_attn(8192) == ("blockwise", True)
+    assert resolve_attn(8192, attn_impl="dense", remat="off") == ("dense", False)
