@@ -160,9 +160,15 @@ class ServingRuntime:
         # reference context default is n_ctx 8192 (llama_local.py:45-46);
         # tiny test configs stay small for hermetic speed
         default_seq = "2048" if size == "tiny" else "8192"
+        # int8 KV cache halves decode HBM traffic at long context
+        # (llama.init_kv_cache); bf16 remains the conservative default
+        kv_dtype = os.environ.get("ORPHEUS_KV_QUANT", "bfloat16").lower()
+        if kv_dtype in ("", "0", "off", "none"):
+            kv_dtype = "bfloat16"
         ecfg = EngineConfig(
             max_slots=int(os.environ.get("ORPHEUS_MAX_SLOTS", "8")),
             max_seq_len=int(os.environ.get("ORPHEUS_MAX_SEQ", default_seq)),
+            cache_dtype=kv_dtype,
         )
         self.engine = OrpheusEngine(
             params, cfg, ecfg, codec=(self.snac_params, self.snac_cfg)

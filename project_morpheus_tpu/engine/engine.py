@@ -359,7 +359,10 @@ class OrpheusEngine:
                 self.params, shardings_like(self.params, pshard)
             )
             self.dstate = jax.device_put(
-                self.dstate, engine_state_shardings(mesh)
+                self.dstate,
+                engine_state_shardings(
+                    mesh, quantized_cache="k_scale" in self.dstate["cache"]
+                ),
             )
         self._snac_state = None
         if codec is not None:

@@ -120,10 +120,41 @@ def init_kv_cache(
 
     The kv-head axis sits OUTSIDE the TPU-tiled trailing dims so per-head
     cache streams are contiguous and Mosaic DMA slices stay tile-aligned.
+
+    ``dtype=int8`` allocates a QUANTIZED cache: int8 payload plus an fp32
+    scale per (layer, slot, head, position) — long-context decode is
+    KV-bandwidth-bound (8 slots x 8192 bf16 for the 3B reads 7.5 GB per
+    step), so halving the payload nearly halves the step at 8k.  Writes
+    quantize per position (max-abs/127); attention dequantises in
+    registers (scores scale by k_scale, probs by v_scale).
     """
     S = max_len or cfg.max_seq_len
     shape = (cfg.num_layers, batch, cfg.num_kv_heads, S, cfg.head_dim)
+    if jnp.dtype(dtype) == jnp.int8:
+        return {
+            "k": jnp.zeros(shape, jnp.int8),
+            "v": jnp.zeros(shape, jnp.int8),
+            "k_scale": jnp.zeros(shape[:-1], jnp.float32),
+            "v_scale": jnp.zeros(shape[:-1], jnp.float32),
+        }
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def kv_cache_is_quantized(cache: KVCache) -> bool:
+    return "k_scale" in cache
+
+
+def quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-position symmetric int8: returns (int8 payload, fp32 scale).
+
+    ``x`` has head_dim last; the scale drops that axis.
+    """
+    scale = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1) / 127.0
+    scale = jnp.maximum(scale, 1e-8)
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return q, scale
 
 
 # ------------------------------------------------------------------ forward
@@ -245,24 +276,57 @@ def llama_forward(
     if cache is not None:
         ks, vs = kv  # (L, B, S, KV, HD)
         lanes = cache_slots if cache_slots is not None else jnp.arange(B)
+        quant = kv_cache_is_quantized(cache)
         if B == 1:
             # prefill fast path: one whole-stack dynamic_update_slice into
             # the (donated) cache — in place, no gather/scatter machinery
-            kw = jnp.swapaxes(ks, 2, 3).astype(cache["k"].dtype)  # (L,1,KV,S,HD)
-            vw = jnp.swapaxes(vs, 2, 3).astype(cache["v"].dtype)
+            kw = jnp.swapaxes(ks, 2, 3)  # (L, 1, KV, S, HD)
+            vw = jnp.swapaxes(vs, 2, 3)
             start = (0, lanes[0], 0, write_off[0], 0)
-            new_cache = {
-                "k": lax.dynamic_update_slice(cache["k"], kw, start),
-                "v": lax.dynamic_update_slice(cache["v"], vw, start),
-            }
+            if quant:
+                kq, ksc = quantize_kv(kw)
+                vq, vsc = quantize_kv(vw)
+                new_cache = {
+                    "k": lax.dynamic_update_slice(cache["k"], kq, start),
+                    "v": lax.dynamic_update_slice(cache["v"], vq, start),
+                    "k_scale": lax.dynamic_update_slice(
+                        cache["k_scale"], ksc, start[:-1]
+                    ),
+                    "v_scale": lax.dynamic_update_slice(
+                        cache["v_scale"], vsc, start[:-1]
+                    ),
+                }
+            else:
+                new_cache = {
+                    "k": lax.dynamic_update_slice(
+                        cache["k"], kw.astype(cache["k"].dtype), start
+                    ),
+                    "v": lax.dynamic_update_slice(
+                        cache["v"], vw.astype(cache["v"].dtype), start
+                    ),
+                }
         else:
             # scatter each slot's sequence into its cache lane at its offset
             pos_idx = write_off[:, None] + jnp.arange(S)[None, :]  # (B, S)
             batch_idx = jnp.broadcast_to(lanes[:, None], (B, S))
-            new_cache = {
-                "k": _scatter_seq(cache["k"], ks, batch_idx, pos_idx),
-                "v": _scatter_seq(cache["v"], vs, batch_idx, pos_idx),
-            }
+            if quant:
+                kq, ksc = quantize_kv(ks)  # (L,B,S,KV,HD) int8, (L,B,S,KV)
+                vq, vsc = quantize_kv(vs)
+                new_cache = {
+                    "k": _scatter_seq(cache["k"], kq, batch_idx, pos_idx),
+                    "v": _scatter_seq(cache["v"], vq, batch_idx, pos_idx),
+                    "k_scale": _scatter_seq_scale(
+                        cache["k_scale"], ksc, batch_idx, pos_idx
+                    ),
+                    "v_scale": _scatter_seq_scale(
+                        cache["v_scale"], vsc, batch_idx, pos_idx
+                    ),
+                }
+            else:
+                new_cache = {
+                    "k": _scatter_seq(cache["k"], ks, batch_idx, pos_idx),
+                    "v": _scatter_seq(cache["v"], vs, batch_idx, pos_idx),
+                }
     return logits, new_cache
 
 
@@ -278,6 +342,20 @@ def _scatter_seq(cache, kv, batch_idx, pos_idx):
         ].set(vals.astype(c_l.dtype))
 
     return jax.vmap(one_layer)(cache, kv)
+
+
+def _scatter_seq_scale(cache, sc, batch_idx, pos_idx):
+    """Write scales (L,B,S,KV) into cache (L,B,KV,Smax) at pos_idx (B,S)."""
+    KV = cache.shape[2]
+    kv_idx = jnp.arange(KV)[None, :, None]
+
+    def one_layer(c_l, s_l):
+        vals = jnp.swapaxes(s_l, 1, 2)  # (B, KV, S)
+        return c_l.at[
+            batch_idx[:, None, :], kv_idx, pos_idx[:, None, :]
+        ].set(vals.astype(c_l.dtype))
+
+    return jax.vmap(one_layer)(cache, sc)
 
 
 def _project_qkv(h, wl, cfg: LlamaConfig):
@@ -345,6 +423,7 @@ def llama_prefill_chunk(
     S = tokens.shape[0]
     KV, HD = cfg.num_kv_heads, cfg.head_dim
     G = cfg.num_heads // KV
+    quant = kv_cache_is_quantized(cache)
     inv_freqs = rope_inv_freqs(cfg)
     positions = (offset + jnp.arange(S, dtype=jnp.int32))[None, :]  # (1, S)
     x = embed_lookup(params["embed"], tokens[None, :], dtype=params["ln_f"].dtype)
@@ -355,39 +434,70 @@ def llama_prefill_chunk(
     lp = params["layers"]
 
     def layer_body(i, carry):
-        x, k_cache, v_cache = carry
+        x, c = carry
         wl = jax.tree.map(lambda a: a[i], lp)
         h = rmsnorm(x, wl["ln1"], cfg.rms_eps)
         q, k, v = _project_qkv(h, wl, cfg)  # (1, S, H/KV, HD)
         q = apply_rope(q, positions, inv_freqs)
         k = apply_rope(k, positions, inv_freqs)
-        kw = jnp.swapaxes(k, 1, 2).astype(k_cache.dtype)[None]  # (1,1,KV,S,HD)
-        vw = jnp.swapaxes(v, 1, 2).astype(v_cache.dtype)[None]
-        k_cache = lax.dynamic_update_slice(k_cache, kw, (i, slot, 0, offset, 0))
-        v_cache = lax.dynamic_update_slice(v_cache, vw, (i, slot, 0, offset, 0))
+        kh = jnp.swapaxes(k, 1, 2)  # (1, KV, S, HD)
+        vh = jnp.swapaxes(v, 1, 2)
+        if quant:
+            kq, ksc = quantize_kv(kh)  # (1,KV,S,HD) int8, (1,KV,S) f32
+            vq, vsc = quantize_kv(vh)
+            c["k"] = lax.dynamic_update_slice(
+                c["k"], kq[None], (i, slot, 0, offset, 0)
+            )
+            c["v"] = lax.dynamic_update_slice(
+                c["v"], vq[None], (i, slot, 0, offset, 0)
+            )
+            c["k_scale"] = lax.dynamic_update_slice(
+                c["k_scale"], ksc[None], (i, slot, 0, offset)
+            )
+            c["v_scale"] = lax.dynamic_update_slice(
+                c["v_scale"], vsc[None], (i, slot, 0, offset)
+            )
+        else:
+            c["k"] = lax.dynamic_update_slice(
+                c["k"], kh.astype(c["k"].dtype)[None], (i, slot, 0, offset, 0)
+            )
+            c["v"] = lax.dynamic_update_slice(
+                c["v"], vh.astype(c["v"].dtype)[None], (i, slot, 0, offset, 0)
+            )
         k_s = lax.dynamic_slice(
-            k_cache, (i, slot, 0, 0, 0), (1, 1, KV, hist_bucket, HD)
+            c["k"], (i, slot, 0, 0, 0), (1, 1, KV, hist_bucket, HD)
         )[0, 0]
         v_s = lax.dynamic_slice(
-            v_cache, (i, slot, 0, 0, 0), (1, 1, KV, hist_bucket, HD)
+            c["v"], (i, slot, 0, 0, 0), (1, 1, KV, hist_bucket, HD)
         )[0, 0]
         qg = q[0].reshape(S, KV, G, HD)
         scores = jnp.einsum(
-            "skgd,khd->kgsh", qg, k_s, preferred_element_type=jnp.float32
+            "skgd,khd->kgsh", qg, k_s.astype(qg.dtype),
+            preferred_element_type=jnp.float32,
         ) * (HD**-0.5)
+        if quant:
+            ks_s = lax.dynamic_slice(
+                c["k_scale"], (i, slot, 0, 0), (1, 1, KV, hist_bucket)
+            )[0, 0]
+            scores = scores * ks_s[:, None, None, :]
         scores = jnp.where(qmask[None, None], scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1)
+        if quant:
+            vs_s = lax.dynamic_slice(
+                c["v_scale"], (i, slot, 0, 0), (1, 1, KV, hist_bucket)
+            )[0, 0]
+            probs = probs * vs_s[:, None, None, :]
         attn = jnp.einsum(
-            "kgsh,khd->skgd", probs.astype(v_s.dtype), v_s,
+            "kgsh,khd->skgd", probs.astype(x.dtype), v_s.astype(x.dtype),
             preferred_element_type=jnp.float32,
         ).reshape(1, S, cfg.num_heads * HD).astype(x.dtype)
         x = x + matmul_maybe_quant(attn, wl["wo"])
         h = rmsnorm(x, wl["ln2"], cfg.rms_eps)
         x = x + _mlp(h, wl, cfg)
-        return x, k_cache, v_cache
+        return x, c
 
-    x, new_k, new_v = lax.fori_loop(
-        0, cfg.num_layers, layer_body, (x, cache["k"], cache["v"])
+    x, new_cache = lax.fori_loop(
+        0, cfg.num_layers, layer_body, (x, dict(cache))
     )
     x_last = lax.dynamic_slice(x, (0, length - 1, 0), (1, 1, x.shape[-1]))[0, 0]
     x_last = rmsnorm(x_last, params["ln_f"], cfg.rms_eps)
@@ -396,7 +506,7 @@ def llama_prefill_chunk(
         logits = tied_lm_head_logits(x_last[None], params["embed"])[0]
     else:
         logits = matmul_maybe_quant(x_last[None], head).astype(jnp.float32)[0]
-    return logits, {"k": new_k, "v": new_v}
+    return logits, new_cache
 
 
 def llama_decode_step(
@@ -432,6 +542,7 @@ def llama_decode_step(
     KV, HD = cfg.num_kv_heads, cfg.head_dim
     G = cfg.num_heads // KV
     bkt = min(bucket or S, S)
+    quant = kv_cache_is_quantized(cache)
     inv_freqs = rope_inv_freqs(cfg)
     x = embed_lookup(
         params["embed"], tokens[:, None], dtype=params["ln_f"].dtype
@@ -444,7 +555,7 @@ def llama_decode_step(
     lp = params["layers"]
 
     def layer_body(i, carry):
-        x, k_cache, v_cache = carry
+        x, c = carry
         wl = jax.tree.map(lambda a: a[i], lp)
         h = rmsnorm(x, wl["ln1"], cfg.rms_eps)
         q, k, v = _project_qkv(h, wl, cfg)
@@ -455,52 +566,82 @@ def llama_decode_step(
         # keeps the carried cache buffer in place; a gather-scatter costs
         # ~25 us/layer extra on v5e)
         for b in range(B):
-            k_cache = lax.dynamic_update_slice(
-                k_cache,
-                k[b, 0].astype(k_cache.dtype).reshape(1, 1, KV, 1, HD),
-                (i, b, 0, lengths[b], 0),
-            )
-            v_cache = lax.dynamic_update_slice(
-                v_cache,
-                v[b, 0].astype(v_cache.dtype).reshape(1, 1, KV, 1, HD),
-                (i, b, 0, lengths[b], 0),
-            )
+            if quant:
+                kq, ksc = quantize_kv(k[b, 0])  # (KV, HD), (KV,)
+                vq, vsc = quantize_kv(v[b, 0])
+                c["k"] = lax.dynamic_update_slice(
+                    c["k"], kq.reshape(1, 1, KV, 1, HD), (i, b, 0, lengths[b], 0)
+                )
+                c["v"] = lax.dynamic_update_slice(
+                    c["v"], vq.reshape(1, 1, KV, 1, HD), (i, b, 0, lengths[b], 0)
+                )
+                c["k_scale"] = lax.dynamic_update_slice(
+                    c["k_scale"], ksc.reshape(1, 1, KV, 1), (i, b, 0, lengths[b])
+                )
+                c["v_scale"] = lax.dynamic_update_slice(
+                    c["v_scale"], vsc.reshape(1, 1, KV, 1), (i, b, 0, lengths[b])
+                )
+            else:
+                c["k"] = lax.dynamic_update_slice(
+                    c["k"],
+                    k[b, 0].astype(c["k"].dtype).reshape(1, 1, KV, 1, HD),
+                    (i, b, 0, lengths[b], 0),
+                )
+                c["v"] = lax.dynamic_update_slice(
+                    c["v"],
+                    v[b, 0].astype(c["v"].dtype).reshape(1, 1, KV, 1, HD),
+                    (i, b, 0, lengths[b], 0),
+                )
 
         if attn_impl == "pallas":
+            if quant:
+                raise NotImplementedError("pallas decode path is bf16-cache only")
             from ..ops.decode_attention import decode_attention_layered
 
             attn = decode_attention_layered(
                 q[:, 0],
-                k_cache,
-                v_cache,
+                c["k"],
+                c["v"],
                 lengths + 1,
                 i,
                 interpret=jax.default_backend() != "tpu",
             ).reshape(B, 1, cfg.num_heads * HD).astype(x.dtype)
         else:
             k_s = lax.dynamic_slice(
-                k_cache, (i, 0, 0, 0, 0), (1, B, KV, bkt, HD)
+                c["k"], (i, 0, 0, 0, 0), (1, B, KV, bkt, HD)
             )[0]
             v_s = lax.dynamic_slice(
-                v_cache, (i, 0, 0, 0, 0), (1, B, KV, bkt, HD)
+                c["v"], (i, 0, 0, 0, 0), (1, B, KV, bkt, HD)
             )[0]
             qg = q.reshape(B, KV, G, HD)
             scores = jnp.einsum(
-                "bkgd,bksd->bkgs", qg, k_s, preferred_element_type=jnp.float32
+                "bkgd,bksd->bkgs", qg, k_s.astype(qg.dtype),
+                preferred_element_type=jnp.float32,
             ) * (HD**-0.5)
+            if quant:
+                # int8 payload rides HBM; dequant happens here, per position
+                ks_s = lax.dynamic_slice(
+                    c["k_scale"], (i, 0, 0, 0), (1, B, KV, bkt)
+                )[0]
+                scores = scores * ks_s[:, :, None, :]
             scores = jnp.where(key_mask[:, None, None, :], scores, -1e30)
             probs = jax.nn.softmax(scores, axis=-1)
+            if quant:
+                vs_s = lax.dynamic_slice(
+                    c["v_scale"], (i, 0, 0, 0), (1, B, KV, bkt)
+                )[0]
+                probs = probs * vs_s[:, :, None, :]
             attn = jnp.einsum(
-                "bkgs,bksd->bkgd", probs.astype(v_s.dtype), v_s,
+                "bkgs,bksd->bkgd", probs.astype(x.dtype), v_s.astype(x.dtype),
                 preferred_element_type=jnp.float32,
             ).reshape(B, 1, cfg.num_heads * HD).astype(x.dtype)
         x = x + matmul_maybe_quant(attn, wl["wo"])
         h = rmsnorm(x, wl["ln2"], cfg.rms_eps)
         x = x + _mlp(h, wl, cfg)
-        return x, k_cache, v_cache
+        return x, c
 
-    x, new_k, new_v = lax.fori_loop(
-        0, cfg.num_layers, layer_body, (x, cache["k"], cache["v"])
+    x, new_cache = lax.fori_loop(
+        0, cfg.num_layers, layer_body, (x, dict(cache))
     )
     x = rmsnorm(x[:, 0], params["ln_f"], cfg.rms_eps)
     head = params.get("lm_head")
@@ -510,4 +651,4 @@ def llama_decode_step(
         logits = matmul_maybe_quant(x, head).astype(jnp.float32)
     if active is not None:
         logits = jnp.where(active[:, None], logits, 0.0)
-    return logits, {"k": new_k, "v": new_v}
+    return logits, new_cache

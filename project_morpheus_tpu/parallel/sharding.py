@@ -163,19 +163,27 @@ def shardings_like(params: Dict, shardings: Dict) -> Dict:
     return out
 
 
-def kv_cache_shardings(mesh: Mesh) -> Dict:
-    """Cache (L, slots, KV, S, HD): slots over data, kv heads over model."""
-    return {
+def kv_cache_shardings(mesh: Mesh, quantized: bool = False) -> Dict:
+    """Cache (L, slots, KV, S, HD): slots over data, kv heads over model.
+
+    ``quantized`` adds the int8 cache's per-position scale planes
+    (L, slots, KV, S), sharded the same way.
+    """
+    out = {
         "k": _ns(mesh, None, "data", "model", None, None),
         "v": _ns(mesh, None, "data", "model", None, None),
     }
+    if quantized:
+        out["k_scale"] = _ns(mesh, None, "data", "model", None)
+        out["v_scale"] = _ns(mesh, None, "data", "model", None)
+    return out
 
 
-def engine_state_shardings(mesh: Mesh) -> Dict:
+def engine_state_shardings(mesh: Mesh, quantized_cache: bool = False) -> Dict:
     """Full engine dstate pytree shardings (see OrpheusEngine.dstate)."""
     slot = _ns(mesh, "data")
     return {
-        "cache": kv_cache_shardings(mesh),
+        "cache": kv_cache_shardings(mesh, quantized_cache),
         "lengths": slot,
         "active": slot,
         "last_tokens": slot,

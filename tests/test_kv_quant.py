@@ -1,0 +1,149 @@
+"""int8 KV cache: quantisation fidelity and path equivalence.
+
+Long-context decode is KV-bandwidth-bound (VERDICT r1: 8x8192 bf16 for
+the 3B reads ~7.5 GB/step); the int8 cache halves that.  Gates:
+
+- per-position symmetric quantisation error is bounded by the step size;
+- chunked prefill against an int8 cache tracks the single-shot write
+  (the chunked path deliberately reads QUANTIZED history, so later
+  layers diverge by the quantisation step — bounded, not byte-equal);
+- decode logits against an int8 cache track the bf16-cache logits;
+- the engine runs end-to-end with cache_dtype="int8".
+"""
+import asyncio
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from project_morpheus_tpu.model import (
+    LlamaConfig,
+    init_kv_cache,
+    init_llama_params,
+    llama_decode_step,
+    llama_forward,
+    llama_prefill_chunk,
+)
+from project_morpheus_tpu.model.llama import kv_cache_is_quantized, quantize_kv
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return LlamaConfig.tiny_vocab()
+
+
+@pytest.fixture(scope="module")
+def params(cfg):
+    return init_llama_params(cfg, jax.random.key(0), dtype=jnp.float32)
+
+
+def test_quantize_kv_error_bound():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 8, 16)).astype(np.float32))
+    q, scale = quantize_kv(x)
+    assert q.dtype == jnp.int8 and scale.shape == (4, 8)
+    recon = q.astype(jnp.float32) * scale[..., None]
+    err = np.abs(np.asarray(recon - x))
+    # symmetric rounding: |err| <= scale/2 per position
+    assert np.all(err <= np.asarray(scale)[..., None] * 0.5 + 1e-7)
+
+
+def test_prefill_paths_write_identical_int8(cfg, params):
+    rng = np.random.default_rng(1)
+    n = 40
+    prompt = rng.integers(1, cfg.vocab_size, size=(n,)).astype(np.int32)
+
+    cache_a = init_kv_cache(cfg, 1, 64, jnp.int8)
+    assert kv_cache_is_quantized(cache_a)
+    _, cache_a = llama_forward(
+        params, jnp.asarray(prompt[None, :]), cfg, cache=cache_a,
+        cache_offset=jnp.zeros((1,), jnp.int32), cache_slots=jnp.arange(1),
+    )
+
+    cache_b = init_kv_cache(cfg, 1, 64, jnp.int8)
+    for lo, hist in ((0, 16), (16, 32)):
+        _, cache_b = llama_prefill_chunk(
+            params, jnp.asarray(prompt[lo : lo + 16]), cfg, cache_b,
+            jnp.asarray(lo, jnp.int32), jnp.asarray(0, jnp.int32),
+            jnp.asarray(16, jnp.int32), hist_bucket=hist,
+        )
+    rest = np.zeros((16,), np.int32)
+    rest[: n - 32] = prompt[32:]
+    _, cache_b = llama_prefill_chunk(
+        params, jnp.asarray(rest), cfg, cache_b,
+        jnp.asarray(32, jnp.int32), jnp.asarray(0, jnp.int32),
+        jnp.asarray(n - 32, jnp.int32), hist_bucket=64,
+    )
+    for name in ("k", "v"):
+        qa = np.asarray(cache_a[name])[:, 0, :, :n].astype(np.float32)
+        qb = np.asarray(cache_b[name])[:, 0, :, :n].astype(np.float32)
+        sa = np.asarray(cache_a[name + "_scale"])[:, 0, :, :n]
+        sb = np.asarray(cache_b[name + "_scale"])[:, 0, :, :n]
+        ra, rb = qa * sa[..., None], qb * sb[..., None]
+        rel = np.abs(ra - rb).max() / (np.abs(ra).max() + 1e-9)
+        assert rel < 0.03, f"{name}: dequantised divergence {rel:.4f}"
+
+
+def test_decode_with_int8_cache_tracks_bf16(cfg, params):
+    rng = np.random.default_rng(2)
+    n = 24
+    prompt = rng.integers(1, cfg.vocab_size, size=(1, n)).astype(np.int32)
+
+    outs = {}
+    for dtype in (jnp.float32, jnp.int8):
+        cache = init_kv_cache(cfg, 1, 64, dtype)
+        _, cache = llama_forward(
+            params, jnp.asarray(prompt), cfg, cache=cache,
+            cache_offset=jnp.zeros((1,), jnp.int32), cache_slots=jnp.arange(1),
+        )
+        lengths = jnp.asarray([n], jnp.int32)
+        logits_seq = []
+        tok = jnp.asarray([5], jnp.int32)
+        for _ in range(4):
+            logits, cache = llama_decode_step(
+                params, tok, cfg, cache, lengths
+            )
+            logits_seq.append(np.asarray(logits[0]))
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            lengths = lengths + 1
+        outs[str(dtype)] = np.stack(logits_seq)
+
+    a, b = outs[str(jnp.float32)], outs[str(jnp.int8)]
+    # int8 KV is an approximation: demand tight directional agreement
+    for t in range(a.shape[0]):
+        ca = a[t] - a[t].mean()
+        cb = b[t] - b[t].mean()
+        cos = float((ca * cb).sum() / (np.linalg.norm(ca) * np.linalg.norm(cb)))
+        assert cos > 0.999, f"step {t}: logits cosine {cos}"
+        assert np.argmax(a[t]) == np.argmax(b[t])
+
+
+def test_engine_runs_with_int8_cache(cfg, params):
+    from project_morpheus_tpu.engine import EngineConfig, OrpheusEngine
+    from project_morpheus_tpu.model.sampling import SamplingParams
+
+    eng = OrpheusEngine(
+        params, cfg,
+        EngineConfig(
+            max_slots=2, max_seq_len=128, prefill_buckets=(16, 32),
+            prefill_chunk=16, context_buckets=(64, 128),
+            cache_dtype="int8", steps_per_sync=2,
+        ),
+    )
+
+    async def go():
+        req = await eng.submit([3, 4, 5], SamplingParams(max_tokens=8))
+        toks = [t async for t in req.tokens()]
+        # long prompt takes the chunked path against the int8 cache
+        rng = np.random.default_rng(3)
+        req2 = await eng.submit(
+            rng.integers(1, cfg.vocab_size, size=(50,)).tolist(),
+            SamplingParams(max_tokens=8),
+        )
+        toks2 = [t async for t in req2.tokens()]
+        await eng.close()
+        return toks, toks2
+
+    toks, toks2 = asyncio.run(go())
+    assert 1 <= len(toks) <= 8 and 1 <= len(toks2) <= 8
