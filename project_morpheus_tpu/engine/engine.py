@@ -381,6 +381,10 @@ class OrpheusEngine:
             self.steps_per_sync = 7 if jax.default_backend() == "tpu" else 1
         self._free: List[int] = list(range(B))
         self._by_slot: Dict[int, Request] = {}
+        # async admission: first tokens sampled by an in-flight prefill,
+        # read back together with the next frame instead of stalling the
+        # dispatch cadence on a host<->device sync (VERDICT r1 "next" #5)
+        self._pending_first: List[tuple] = []  # (slot, req, device scalar)
         self._pending: "asyncio.Queue[Request]" = asyncio.Queue()
         self._wake = asyncio.Event()
         self._task: Optional[asyncio.Task] = None
@@ -473,7 +477,7 @@ class OrpheusEngine:
         # a prompt may fill the context up to the generation-safety margin;
         # anything beyond keeps its most recent tokens (reference n_ctx
         # semantics: llama_local.py:45-46 — but no silent //2 truncation)
-        margin = self.steps_per_sync * (1 + max(self.ecfg.pipeline_depth, 0))
+        margin = self.steps_per_sync * (1 + max(self.ecfg.pipeline_depth, 0)) + 1
         max_prompt = self.ecfg.max_seq_len - margin - 2
         if len(ids) > max_prompt:
             logger.warning(
@@ -508,8 +512,12 @@ class OrpheusEngine:
             )
         else:
             first = self._chunked_prefill(ids, slot, samp)
+        # Do NOT force a readback here: the prefill is dispatched, the slot
+        # is active on device, and the sampled first token is read back with
+        # the next frame (_flush_first_tokens) so one admission never stalls
+        # the co-batched streams' frame cadence.
         req.state = RequestState.DECODING
-        self._deliver(req, int(first))
+        self._pending_first.append((slot, req, first))
 
     def _hist_bucket(self, need: int) -> int:
         """Smallest static history bucket covering ``need`` positions."""
@@ -518,7 +526,7 @@ class OrpheusEngine:
                 return b
         return self.ecfg.max_seq_len
 
-    def _chunked_prefill(self, ids: Sequence[int], slot: int, samp) -> int:
+    def _chunked_prefill(self, ids: Sequence[int], slot: int, samp):
         """Write a long prompt in fixed-size chunks; sample on the last.
 
         Each chunk attends to all previously written history, so the
@@ -563,7 +571,7 @@ class OrpheusEngine:
             hist_bucket=self._hist_bucket(offset + bucket),
             sample=True,
         )
-        return int(first)
+        return first  # device scalar; caller defers the readback
 
     def _deliver(self, req: Request, token: int) -> None:
         """Route one sampled token to the request, handling stop conditions."""
@@ -573,8 +581,9 @@ class OrpheusEngine:
         # Evict with enough headroom that frames already dispatched (or about
         # to be, under pipelining) can't write past max_seq_len: up to
         # steps_per_sync-1 tokens remain in the frame being processed plus
-        # steps_per_sync per pipelined frame in flight.
-        margin = self.steps_per_sync * (1 + max(self.ecfg.pipeline_depth, 0))
+        # steps_per_sync per pipelined frame in flight, plus one token for a
+        # first-token readback still pending under async admission.
+        margin = self.steps_per_sync * (1 + max(self.ecfg.pipeline_depth, 0)) + 1
         out_of_budget = (
             req.generated >= req.sampling.max_tokens
             or req.generated + req.ctx_len >= self.ecfg.max_seq_len - margin
@@ -592,12 +601,13 @@ class OrpheusEngine:
         the end of the next ``n_steps``-token dispatch."""
         if not self._by_slot:
             return None
-        # host-side counts lag the device by the in-flight frames, so cover
-        # the pipeline depth too
+        # host-side counts lag the device by the in-flight frames (plus one
+        # token for a pending async-admission first readback), so cover the
+        # pipeline depth too
         need = (
             max(r.ctx_len + r.generated for r in self._by_slot.values())
             + n_steps * (1 + max(self.ecfg.pipeline_depth, 0))
-            + 1
+            + 2
         )
         # device-write safety: the margin-based eviction in _deliver keeps
         # every live length below max_seq_len even with frames in flight
@@ -640,6 +650,56 @@ class OrpheusEngine:
             )
         return toks, dict(self._by_slot)
 
+    def _route_token(
+        self,
+        slot: int,
+        req: Request,
+        token: int,
+        pending_hops: List[tuple],
+        finished_audio: List[Request],
+    ) -> None:
+        """Deliver one sampled token and stage its audio hops (if any)."""
+        self._deliver(req, token)
+        if req.audio:
+            from ..adapters.runtime import audio_code_from_token_id
+
+            # stop/special ids fall outside the audio band -> None
+            code = audio_code_from_token_id(token, req.audio_pos)
+            if code is not None:
+                req.audio_pos += 1
+                for h in req.planner.push(code):
+                    pending_hops.append((slot, req, h))
+            if req.done:
+                for h in req.planner.flush():
+                    pending_hops.append((slot, req, h))
+                finished_audio.append(req)
+
+    def _flush_first_tokens(self) -> None:
+        """Read back first tokens of prefills dispatched since the last frame.
+
+        Called right after the next frame is dispatched: the readback waits
+        only for the (already-executing) prefill, never holding up the frame
+        pipeline, and first tokens are delivered before any decode tokens of
+        the same request (its decode tokens only exist in frames dispatched
+        after this point).
+        """
+        if not self._pending_first:
+            return
+        pending, self._pending_first = self._pending_first, []
+        pending_hops: List[tuple] = []
+        finished_audio: List[Request] = []
+        for slot, req, first in pending:
+            if req.done or self._by_slot.get(slot) is not req:
+                continue  # cancelled while the prefill was in flight
+            self._route_token(
+                slot, req, int(jax.device_get(first)), pending_hops,
+                finished_audio,
+            )
+        if pending_hops:
+            self._run_audio_hops(pending_hops)
+        for req in finished_audio:
+            req.pcm_queue.put_nowait(None)
+
     def _process_frame(self, toks, slot_map: Dict[int, Request]) -> None:
         """Readback + token routing for one completed frame dispatch.
 
@@ -662,20 +722,7 @@ class OrpheusEngine:
                 token = int(step_row[slot])
                 if token < 0:
                     continue
-                self._deliver(req, token)
-                if req.audio:
-                    from ..adapters.runtime import audio_code_from_token_id
-
-                    # stop/special ids fall outside the audio band -> None
-                    code = audio_code_from_token_id(token, req.audio_pos)
-                    if code is not None:
-                        req.audio_pos += 1
-                        for h in req.planner.push(code):
-                            pending_hops.append((slot, req, h))
-                    if req.done:
-                        for h in req.planner.flush():
-                            pending_hops.append((slot, req, h))
-                        finished_audio.append(req)
+                self._route_token(slot, req, token, pending_hops, finished_audio)
         if pending_hops:
             self._run_audio_hops(pending_hops)
         for req in finished_audio:
@@ -695,6 +742,7 @@ class OrpheusEngine:
                 self._admit(req)
 
             if not self._by_slot:
+                self._flush_first_tokens()  # all-cancelled edge: drop stale
                 if inflight is not None:
                     self._process_frame(*inflight)
                     inflight = None
@@ -709,6 +757,10 @@ class OrpheusEngine:
                 continue
 
             frame = self._dispatch_frame()
+            # first tokens from prefills dispatched before this frame: the
+            # next frame is already queued, so this readback never stalls
+            # the device pipeline
+            self._flush_first_tokens()
             if inflight is not None:
                 self._process_frame(*inflight)
             if self.ecfg.pipeline_depth <= 0:
@@ -718,6 +770,7 @@ class OrpheusEngine:
                 inflight = frame
             # let other coroutines (HTTP handlers, codec) run
             await asyncio.sleep(0)
+        self._flush_first_tokens()
         if inflight is not None:
             self._process_frame(*inflight)
 

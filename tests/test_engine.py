@@ -176,3 +176,61 @@ def test_pipelined_sequential_requests_clean(params, cfg):
 
     t1, t2 = _run(go())
     assert t1 == t2, "greedy decode of identical prompts must match"
+
+
+def test_async_admission_mid_stream_determinism(params, cfg):
+    """A request admitted while another stream is mid-decode (async
+    admission: prefill overlapped with in-flight frames) must produce the
+    same greedy tokens as the same request admitted alone, with the first
+    token delivered before any decode tokens."""
+    sp = SamplingParams(temperature=0.0, max_tokens=6, stop_token_ids=())
+
+    async def solo():
+        eng = _engine(params, cfg)
+        req = await eng.submit([9, 4, 2], sp)
+        out = [t async for t in req.tokens()]
+        await eng.close()
+        return out
+
+    async def staggered():
+        eng = _engine(params, cfg)
+        bg = await eng.submit([13], SamplingParams(temperature=0.0, max_tokens=40, stop_token_ids=()))
+        # let the background stream get several frames in flight
+        got = 0
+        async for _ in bg.tokens():
+            got += 1
+            if got == 8:
+                break
+        late = await eng.submit([9, 4, 2], sp)
+        out = [t async for t in late.tokens()]
+        eng.cancel(bg)
+        await eng.close()
+        return out
+
+    assert _run(solo()) == _run(staggered())
+
+
+def test_cancel_while_first_token_pending(params, cfg):
+    """Cancel issued between admission (prefill dispatched) and the first
+    frame readback: no token may be delivered, and the slot must recycle."""
+    async def go():
+        eng = _engine(params, cfg, max_slots=1)
+        sp = SamplingParams(temperature=0.0, max_tokens=8, stop_token_ids=())
+        req = await eng.submit([4, 4], sp)
+        # admission happens inside the loop task; spin until the prefill
+        # has been dispatched but (possibly) not yet flushed
+        while req.slot is None and not req.done:
+            await asyncio.sleep(0)
+        eng.cancel(req)
+        toks = [t async for t in req.tokens()]
+        # the slot must be reusable afterwards
+        req2 = await eng.submit([5, 6], sp)
+        toks2 = [t async for t in req2.tokens()]
+        await eng.close()
+        return toks, toks2
+
+    toks, toks2 = _run(go())
+    # the first token may already have been flushed before the cancel; the
+    # invariant is prompt stream termination and slot recycling
+    assert len(toks) <= 2
+    assert len(toks2) >= 1
