@@ -67,6 +67,45 @@ def riff_header(sample_rate: int = SAMPLE_RATE) -> bytes:
     )
 
 
+class SpeedResampler:
+    """Streaming linear-interpolation time stretch for int16 PCM.
+
+    Implements the OpenAI-style ``speed`` field of the speech request
+    (reference accepts it in its schema, server.py:161-166, but never
+    applies it; here speed 2.0 really halves the duration).  Keeps the
+    last input sample and the fractional read phase across chunks so the
+    output is continuous at chunk boundaries.
+    """
+
+    def __init__(self, speed: float) -> None:
+        self.speed = float(speed)
+        self._prev = None  # last input sample (1-element array)
+        self._in0 = 0      # global input index of the buffered sample
+        self._emitted = 0  # output samples emitted so far
+
+    def process(self, pcm: bytes) -> bytes:
+        import numpy as np
+
+        x = np.frombuffer(pcm, np.int16)
+        if x.size == 0:
+            return b""
+        if self._prev is not None:
+            x = np.concatenate([self._prev, x])
+        # output sample k reads global input position k*speed; integer
+        # bookkeeping keeps chunked processing bit-identical to one-shot
+        last_global = self._in0 + x.size - 1
+        n = int(np.floor(last_global / self.speed)) - self._emitted + 1
+        self._prev = x[-1:]
+        if n <= 0:
+            self._in0 = last_global
+            return b""
+        pos = (self._emitted + np.arange(n)) * self.speed - self._in0
+        out = np.interp(pos, np.arange(x.size), x.astype(np.float32))
+        self._emitted += n
+        self._in0 = last_global
+        return out.astype(np.int16).tobytes()
+
+
 class ServerState:
     """Mutable serving state (reference server.py:90-96)."""
 
@@ -131,6 +170,12 @@ async def create_speech(request: web.Request) -> web.StreamResponse:
     response_format = body.get("response_format", "wav")
     if response_format not in ("wav", "pcm"):
         raise web.HTTPBadRequest(text=f"unsupported response_format {response_format!r}")
+    try:
+        speed = float(body.get("speed", 1.0))
+    except (TypeError, ValueError):
+        raise web.HTTPBadRequest(text="'speed' must be a number")
+    if not (0.25 <= speed <= 4.0):
+        raise web.HTTPBadRequest(text="'speed' must be in [0.25, 4.0]")
     use_batching = len(text) > 1000  # reference server.py:180-186
 
     resp = web.StreamResponse(
@@ -142,9 +187,13 @@ async def create_speech(request: web.Request) -> web.StreamResponse:
     await resp.prepare(request)
     if response_format == "wav":
         await resp.write(riff_header())
+    stretch = SpeedResampler(speed) if speed != 1.0 else None
     try:
         async for pcm in orchestrated_pcm_stream(state, text, voice, use_batching):
-            await resp.write(pcm)
+            if stretch is not None:
+                pcm = stretch.process(pcm)
+            if pcm:
+                await resp.write(pcm)
     except ConnectionResetError:
         if state.orchestrator is not None:
             state.orchestrator.signal_barge_in()

@@ -153,3 +153,88 @@ def test_ws_tts_streams_pcm():
 
     frames = _with_client(fn)
     assert frames and all(isinstance(f, bytes) for f in frames)
+
+
+def test_speech_speed_param_stretches_audio():
+    """speed 2.0 halves the PCM duration; invalid speeds are rejected
+    (reference accepts `speed` in its schema, server.py:161-166 — here it
+    is validated AND applied)."""
+    async def fn(client):
+        r1 = await client.post("/v1/audio/speech", json={"input": "same text"})
+        b1 = await r1.read()
+        r2 = await client.post(
+            "/v1/audio/speech", json={"input": "same text", "speed": 2.0}
+        )
+        b2 = await r2.read()
+        bad = await client.post(
+            "/v1/audio/speech", json={"input": "x", "speed": 9.0}
+        )
+        nan = await client.post(
+            "/v1/audio/speech", json={"input": "x", "speed": "fast"}
+        )
+        return b1, b2, bad.status, nan.status
+
+    b1, b2, bad, nan = fn and _with_client(fn)
+    assert bad == 400 and nan == 400
+    n1 = len(b1) - 44
+    n2 = len(b2) - 44
+    assert n1 > 0 and n2 > 0
+    # mock engine is deterministic: 2x speed ~ half the samples (within
+    # one hop of slack for boundary interpolation)
+    assert abs(n2 - n1 / 2) <= 4096
+
+
+def test_speed_resampler_streaming_matches_offline():
+    """Chunked processing must equal one-shot processing bit-for-bit."""
+    import numpy as np
+
+    from project_morpheus_tpu.server.app import SpeedResampler
+
+    rng = np.random.default_rng(0)
+    pcm = (rng.standard_normal(24000) * 2000).astype(np.int16).tobytes()
+    for speed in (0.5, 1.3, 2.0):
+        offline = SpeedResampler(speed).process(pcm)
+        sr = SpeedResampler(speed)
+        chunked = b"".join(
+            sr.process(pcm[i : i + 1024]) for i in range(0, len(pcm), 1024)
+        )
+        a = np.frombuffer(offline, np.int16)
+        b = np.frombuffer(chunked, np.int16)
+        n = min(a.size, b.size)
+        assert abs(a.size - b.size) <= 1
+        np.testing.assert_array_equal(a[:n], b[:n])
+
+
+def test_speech_e2e_real_jax_tiny_engine(monkeypatch):
+    """HTTP -> orchestrator -> real (tiny, random-weight) JAX engine ->
+    batched streaming SNAC -> WAV bytes (VERDICT r1 'next' #10).
+
+    Random weights sample mostly outside the audio token band, so the
+    band mapper is widened for the test; everything else — engine audio
+    mode, stream planner, stateful SNAC decode, stitcher, server framing —
+    is the production path.
+    """
+    import project_morpheus_tpu.adapters.runtime as rt
+
+    monkeypatch.setenv("ORPHEUS_ENGINE_MODE", "jax")
+    monkeypatch.setenv("ORPHEUS_MODEL_SIZE", "tiny")
+    monkeypatch.setenv("ORPHEUS_MAX_SLOTS", "2")
+    monkeypatch.setenv("ORPHEUS_MAX_SEQ", "256")
+    monkeypatch.setattr(rt, "_runtime", None)
+    monkeypatch.setattr(
+        rt, "audio_code_from_token_id", lambda token_id, pos: token_id % 4096
+    )
+
+    async def fn(client):
+        cfg = await client.post("/config", json={"max_tokens": 90})
+        assert cfg.status == 200
+        resp = await client.post("/v1/audio/speech", json={"input": "end to end"})
+        assert resp.status == 200
+        return await resp.read()
+
+    body = _with_client(fn)
+    assert body[:4] == b"RIFF"
+    import numpy as np
+
+    pcm = np.frombuffer(body[44:], np.int16)
+    assert pcm.size >= 2048, "real engine produced no audio through the server"
