@@ -34,6 +34,7 @@ class LocalJaxAdapter:
         max_batch_chars: int = 1000,
         sampling: Optional[SamplingParams] = None,
         decoder_mode: str = "native",
+        max_buffer_bytes: int = 96_000,  # ~2 s of PCM16 @ 24 kHz
     ) -> None:
         self.prompt = prompt
         self.voice = voice
@@ -41,11 +42,20 @@ class LocalJaxAdapter:
         self.max_batch_chars = max_batch_chars
         self.sampling = sampling or SamplingParams()
         self.decoder_mode = decoder_mode
+        # Backpressure cap: the producer stops draining the engine once this
+        # much PCM is buffered, which in turn lets the engine gate the slot
+        # (EngineConfig.max_queued_hops) — a stalled client can no longer
+        # buffer a whole utterance in RAM (reference pull-pacing,
+        # orchestrator/core.py:88-117).
+        self.max_buffer_bytes = max_buffer_bytes
         self._buffer = bytearray()
         self._task: Optional[asyncio.Task] = None
         self._requests: List = []
         self._exhausted = False
         self._started = False
+        self._data = asyncio.Event()   # set: buffer gained bytes / EOS
+        self._space = asyncio.Event()  # set: buffer dropped below the cap
+        self._space.set()
 
     # ------------------------------------------------------------ lifecycle
 
@@ -53,6 +63,17 @@ class LocalJaxAdapter:
         if self.use_batching and len(self.prompt) > self.max_batch_chars:
             return split_text_into_sentences(self.prompt)
         return [self.prompt]
+
+    def _push(self, pcm: bytes) -> None:
+        self._buffer.extend(pcm)
+        self._data.set()
+        if len(self._buffer) >= self.max_buffer_bytes:
+            self._space.clear()
+
+    async def _wait_space(self) -> None:
+        """Park the producer until the consumer drains below the cap."""
+        while len(self._buffer) >= self.max_buffer_bytes:
+            await self._space.wait()
 
     async def _produce(self) -> None:
         """Feed the byte buffer from the engine.
@@ -72,7 +93,8 @@ class LocalJaxAdapter:
                     )
                     self._requests.append(req)
                     async for pcm in req.pcm_chunks():
-                        self._buffer.extend(pcm)
+                        self._push(pcm)
+                        await self._wait_space()
                     continue
                 decoder = StreamingSnacDecoder(
                     runtime.snac_params, runtime.snac_cfg, mode=self.decoder_mode
@@ -86,9 +108,10 @@ class LocalJaxAdapter:
                         continue
                     audio_pos += 1
                     for hop in decoder.push_tokens([code]):
-                        self._buffer.extend(hop.tobytes())
+                        self._push(hop.tobytes())
+                    await self._wait_space()
                 for hop in decoder.flush():
-                    self._buffer.extend(hop.tobytes())
+                    self._push(hop.tobytes())
                 decoder.reset()
         except asyncio.CancelledError:
             raise
@@ -99,6 +122,7 @@ class LocalJaxAdapter:
             raise
         finally:
             self._exhausted = True
+            self._data.set()
 
     def _ensure_started(self) -> None:
         if not self._started:
@@ -112,7 +136,10 @@ class LocalJaxAdapter:
         utterance (llama_local.py:120-150 contract)."""
         self._ensure_started()
         while len(self._buffer) < chunk_size and not self._exhausted:
-            await asyncio.sleep(0.001)
+            self._data.clear()
+            if len(self._buffer) >= chunk_size or self._exhausted:
+                continue  # producer ran between the check and the clear
+            await self._data.wait()
         if not self._buffer and self._exhausted:
             if self._task is not None:
                 await self._task  # surface producer exceptions
@@ -120,6 +147,8 @@ class LocalJaxAdapter:
         n = min(chunk_size, len(self._buffer))
         pcm = bytes(self._buffer[:n])
         del self._buffer[:n]
+        if len(self._buffer) < self.max_buffer_bytes:
+            self._space.set()
         duration_ms = n / 2 / SAMPLE_RATE * 1000.0
         eos = self._exhausted and not self._buffer
         return AudioChunk(pcm=pcm, duration_ms=duration_ms, eos=eos)
@@ -141,3 +170,6 @@ class LocalJaxAdapter:
         self._task = None
         self._started = False
         self._exhausted = False
+        self._data = asyncio.Event()
+        self._space = asyncio.Event()
+        self._space.set()

@@ -166,32 +166,50 @@ class RemoteSSEAdapter:
         prompt: str,
         voice: str = DEFAULT_VOICE,
         sampling: Optional[SamplingParams] = None,
+        max_buffer_bytes: int = 96_000,
         **_: object,
     ) -> None:
         self.prompt = prompt
         self.voice = voice
         self.sampling = sampling
+        # pausing the producer stops reading the SSE socket, so backpressure
+        # propagates to the remote server via TCP flow control
+        self.max_buffer_bytes = max_buffer_bytes
         self._buffer = bytearray()
         self._task: Optional[asyncio.Task] = None
         self._exhausted = False
+        self._data = asyncio.Event()
+        self._space = asyncio.Event()
+        self._space.set()
 
     async def _produce(self) -> None:
         try:
             async for pcm in stream_pcm_from_api(self.prompt, self.voice, self.sampling):
                 self._buffer.extend(pcm)
+                self._data.set()
+                if len(self._buffer) >= self.max_buffer_bytes:
+                    self._space.clear()
+                    while len(self._buffer) >= self.max_buffer_bytes:
+                        await self._space.wait()
         finally:
             self._exhausted = True
+            self._data.set()
 
     async def pull(self, chunk_size: int) -> AudioChunk:
         if self._task is None and not self._exhausted:
             self._task = asyncio.get_event_loop().create_task(self._produce())
         while len(self._buffer) < chunk_size and not self._exhausted:
-            await asyncio.sleep(0.001)
+            self._data.clear()
+            if len(self._buffer) >= chunk_size or self._exhausted:
+                continue
+            await self._data.wait()
         if not self._buffer and self._exhausted:
             return AudioChunk(pcm=b"", duration_ms=0.0, eos=True)
         n = min(chunk_size, len(self._buffer))
         pcm = bytes(self._buffer[:n])
         del self._buffer[:n]
+        if len(self._buffer) < self.max_buffer_bytes:
+            self._space.set()
         return AudioChunk(
             pcm=pcm,
             duration_ms=n / 2 / SAMPLE_RATE * 1000.0,
@@ -208,6 +226,9 @@ class RemoteSSEAdapter:
         self._task = None
         self._buffer.clear()
         self._exhausted = False
+        self._data = asyncio.Event()
+        self._space = asyncio.Event()
+        self._space.set()
 
 
 def main(argv=None) -> None:

@@ -60,6 +60,13 @@ class EngineConfig:
     attn_impl: str = "auto"  # auto -> dense bucketed einsum (fastest measured)
     steps_per_sync: int = 0  # 0/auto -> 7 on TPU (one SNAC frame), 1 elsewhere
     pipeline_depth: int = 1  # frames in flight beyond the one being processed
+    # Backpressure: a slot whose consumer queue is this deep is gated out of
+    # decode dispatches (its KV slot is kept; generation resumes when the
+    # consumer drains).  A stalled client therefore buffers at most
+    # ~max_queued_hops of audio instead of the whole utterance — the engine
+    # analogue of the reference's pull-per-chunk pacing (core.py:88-117).
+    max_queued_hops: int = 24       # audio mode: ~2 s of PCM at 85 ms hops
+    max_queued_tokens: int = 512    # token mode
     default_stop_ids: Tuple[int, ...] = (
         ORPHEUS_SPECIAL_TOKENS["end_of_speech"],
         ORPHEUS_SPECIAL_TOKENS["end_of_text"],
@@ -195,10 +202,15 @@ def _prefill_chunk(
     return dstate, first
 
 
-def _decode_core(params, dstate, key, cfg: LlamaConfig, attn_impl: str,
+def _decode_core(params, dstate, key, gate, cfg: LlamaConfig, attn_impl: str,
                  bucket: Optional[int] = None):
-    """One decode+sample step over the slot table (shared by both jits)."""
-    active = dstate["active"]
+    """One decode+sample step over the slot table (shared by both jits).
+
+    ``gate`` (B,) bool is the per-dispatch backpressure mask: gated-off
+    slots neither advance nor emit (toks read -1) but keep their device
+    state — unlike ``active``, which is persistent slot liveness.
+    """
+    active = dstate["active"] & gate
     logits, cache = llama_decode_step(
         params,
         dstate["last_tokens"],
@@ -237,10 +249,12 @@ def _decode_core(params, dstate, key, cfg: LlamaConfig, attn_impl: str,
 @functools.partial(
     jax.jit, static_argnames=("cfg", "attn_impl", "bucket"), donate_argnums=(1,)
 )
-def _decode(params, dstate, key, *, cfg: LlamaConfig, attn_impl: str = "dense",
-            bucket: Optional[int] = None):
-    """Advance every active slot by one token."""
-    return _decode_core(params, dstate, key, cfg, attn_impl, bucket)
+def _decode(params, dstate, key, gate=None, *, cfg: LlamaConfig,
+            attn_impl: str = "dense", bucket: Optional[int] = None):
+    """Advance every active (and ungated) slot by one token."""
+    if gate is None:
+        gate = jnp.ones(dstate["active"].shape, jnp.bool_)
+    return _decode_core(params, dstate, key, gate, cfg, attn_impl, bucket)
 
 
 @functools.partial(
@@ -252,6 +266,7 @@ def _decode_multi(
     params,
     dstate,
     key,
+    gate=None,
     *,
     cfg: LlamaConfig,
     attn_impl: str,
@@ -266,9 +281,12 @@ def _decode_multi(
     token are deactivated on-device so later steps in the same dispatch
     don't extend them; their remaining outputs read -1.
     """
+    if gate is None:
+        gate = jnp.ones(dstate["active"].shape, jnp.bool_)
 
     def body(dstate, k):
-        dstate, toks = _decode_core(params, dstate, k, cfg, attn_impl, bucket)
+        dstate, toks = _decode_core(params, dstate, k, gate, cfg, attn_impl,
+                                    bucket)
         is_stop = jnp.zeros(toks.shape, bool)
         for s in stop_ids:
             is_stop = is_stop | (toks == s)
@@ -405,6 +423,8 @@ class OrpheusEngine:
         audio: bool = False,
     ) -> Request:
         req = Request(list(prompt_ids), (sampling or SamplingParams()).clipped())
+        # consumer drains wake the loop when backpressure had it parked
+        req.on_drain = self._wake.set
         if audio:
             if not self.supports_audio:
                 raise ValueError("engine built without a codec; audio mode off")
@@ -427,6 +447,7 @@ class OrpheusEngine:
         req.token_queue.put_nowait(None)
         if req.audio:
             req.pcm_queue.put_nowait(None)
+        self._wake.set()
 
     async def close(self) -> None:
         self._closed = True
@@ -620,7 +641,34 @@ class OrpheusEngine:
                 return b
         return None  # full allocated context
 
-    def _dispatch_frame(self):
+    def _backpressure_gate(self) -> Optional[jnp.ndarray]:
+        """Per-dispatch slot mask from consumer-queue depth.
+
+        Returns None when every live slot is saturated (skip the dispatch
+        and wait for a drain), or a (B,) bool gate otherwise.
+        """
+        gate = np.ones((self.ecfg.max_slots,), bool)
+        any_ready = False
+        for slot, req in self._by_slot.items():
+            depth = (
+                req.pcm_queue.qsize() if req.audio else req.token_queue.qsize()
+            )
+            limit = (
+                self.ecfg.max_queued_hops
+                if req.audio
+                else self.ecfg.max_queued_tokens
+            )
+            if depth >= limit:
+                gate[slot] = False
+            else:
+                any_ready = True
+        if not any_ready:
+            return None
+        if gate.all():
+            return jnp.ones((self.ecfg.max_slots,), jnp.bool_)
+        return jnp.asarray(gate)
+
+    def _dispatch_frame(self, gate):
         """Issue one decode dispatch; returns (device toks, slot snapshot)."""
         n = self.steps_per_sync
         if n > 1:
@@ -633,6 +681,7 @@ class OrpheusEngine:
                 self.params,
                 self.dstate,
                 self._split_key(),
+                gate,
                 cfg=self.cfg,
                 attn_impl=self.attn_impl,
                 n_steps=n,
@@ -644,6 +693,7 @@ class OrpheusEngine:
                 self.params,
                 self.dstate,
                 self._split_key(),
+                gate,
                 cfg=self.cfg,
                 attn_impl=self.attn_impl,
                 bucket=self._context_bucket(1),
@@ -756,7 +806,29 @@ class OrpheusEngine:
                             break
                 continue
 
-            frame = self._dispatch_frame()
+            gate = self._backpressure_gate()
+            if gate is None:
+                # every live consumer queue is saturated: drain in-flight
+                # work, then park until a consumer get() wakes the loop
+                self._flush_first_tokens()
+                if inflight is not None:
+                    self._process_frame(*inflight)
+                    inflight = None
+                    continue  # routing may have changed queue depths
+                self._wake.clear()
+                if (
+                    self._backpressure_gate() is not None
+                    or not self._pending.empty()
+                    or self._closed
+                ):
+                    continue
+                try:
+                    await asyncio.wait_for(self._wake.wait(), timeout=0.5)
+                except asyncio.TimeoutError:
+                    pass
+                continue
+
+            frame = self._dispatch_frame(gate)
             # first tokens from prefills dispatched before this frame: the
             # next frame is already queued, so this readback never stalls
             # the device pipeline

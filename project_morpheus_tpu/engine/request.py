@@ -43,11 +43,19 @@ class Request:
     pcm_queue: "asyncio.Queue[Optional[bytes]]" = field(
         default_factory=asyncio.Queue
     )
+    # set by the engine at submit: called after every consumer get() so a
+    # backpressure-parked loop wakes as soon as its queues drain
+    on_drain: Optional[object] = None
+
+    def _drained(self) -> None:
+        if self.on_drain is not None:
+            self.on_drain()
 
     async def tokens(self) -> AsyncGenerator[int, None]:
         """Async stream of generated token ids (None sentinel = EOS)."""
         while True:
             tok = await self.token_queue.get()
+            self._drained()
             if tok is None:
                 return
             yield tok
@@ -56,6 +64,7 @@ class Request:
         """Async stream of PCM16 hops (audio mode only)."""
         while True:
             chunk = await self.pcm_queue.get()
+            self._drained()
             if chunk is None:
                 return
             yield chunk

@@ -155,3 +155,33 @@ def test_remote_sse_retries_then_fails(monkeypatch):
     with pytest.raises(httpx.HTTPStatusError):
         asyncio.run(go())
     assert calls["n"] == 3  # exponential-backoff retry budget
+
+
+def test_local_adapter_buffer_bounded_without_pulls():
+    """The producer must stop draining the engine once max_buffer_bytes of
+    PCM is buffered (backpressure), instead of free-running the utterance
+    into RAM; pulls then drain and refill to completion."""
+
+    async def go():
+        adapter = registry.create(
+            "local_jax", prompt="hello world", voice=VoiceSchema()
+        )
+        adapter.max_buffer_bytes = 256
+        first = await adapter.pull(16)  # kicks the producer
+        # give the producer plenty of turns; it must park at the cap
+        for _ in range(50):
+            await asyncio.sleep(0.002)
+        runtime = await get_runtime().ensure()
+        hop_bytes = runtime.snac_cfg.frame_samples * 2
+        assert len(adapter._buffer) <= 256 + hop_bytes
+        # draining releases the producer and the stream still terminates
+        total = len(first.pcm)
+        eos = first.eos
+        while not eos:
+            chunk = await adapter.pull(64)
+            total += len(chunk.pcm)
+            eos = chunk.eos
+        return total
+
+    total = asyncio.run(go())
+    assert total > 256  # more audio than the cap ever held at once

@@ -234,3 +234,42 @@ def test_cancel_while_first_token_pending(params, cfg):
     # invariant is prompt stream termination and slot recycling
     assert len(toks) <= 2
     assert len(toks2) >= 1
+
+
+def test_backpressure_gates_saturated_consumer(params, cfg):
+    """A stalled consumer must not buffer the whole utterance: once its
+    queue hits max_queued_tokens the slot is gated out of dispatches (KV
+    kept), co-batched streams keep flowing, and draining resumes it
+    (reference pull-pacing, orchestrator/core.py:88-117)."""
+
+    async def go():
+        ecfg = EngineConfig(
+            max_slots=2,
+            max_seq_len=512,
+            prefill_buckets=(16,),
+            default_stop_ids=(),
+            max_queued_tokens=10,
+            steps_per_sync=7,
+        )
+        eng = OrpheusEngine(params, cfg, ecfg)
+        sp = SamplingParams(temperature=0.9, max_tokens=200, stop_token_ids=())
+        slow = await eng.submit([5, 6], sp)
+        fast = await eng.submit(
+            [3, 4], SamplingParams(temperature=0.9, max_tokens=80, stop_token_ids=())
+        )
+        fast_out = [t async for t in fast.tokens()]
+        # the fast stream finished its 80 tokens while `slow` was never
+        # drained: slow's queue is bounded by the watermark plus at most
+        # the frames dispatched/in flight when the gate closed
+        bound = ecfg.max_queued_tokens + ecfg.steps_per_sync * (
+            1 + ecfg.pipeline_depth
+        )
+        assert slow.token_queue.qsize() <= bound
+        assert len(fast_out) == 80
+        # draining the slow consumer resumes generation to completion
+        slow_out = [t async for t in slow.tokens()]
+        await eng.close()
+        return slow_out
+
+    out = _run(go())
+    assert len(out) == 200
