@@ -273,3 +273,74 @@ def test_backpressure_gates_saturated_consumer(params, cfg):
 
     out = _run(go())
     assert len(out) == 200
+
+
+def test_long_admission_interleaves_chunks_with_frames(params, cfg, monkeypatch):
+    """An 8k-class admission must never dispatch its prefill chunks
+    back-to-back while another stream is decoding: at most one chunk rides
+    between consecutive decode frames (VERDICT r2 next #4)."""
+    import project_morpheus_tpu.engine.engine as eng_mod
+
+    events = []
+    real_chunk = eng_mod._prefill_chunk
+
+    def spy_chunk(*a, **k):
+        events.append("chunk")
+        return real_chunk(*a, **k)
+
+    monkeypatch.setattr(eng_mod, "_prefill_chunk", spy_chunk)
+
+    async def go():
+        ecfg = EngineConfig(
+            max_slots=2,
+            max_seq_len=256,
+            prefill_buckets=(16,),
+            prefill_chunk=16,
+            context_buckets=(64, 128, 256),
+            default_stop_ids=(),
+            steps_per_sync=7,
+        )
+        eng = OrpheusEngine(params, cfg, ecfg)
+        orig_dispatch = eng._dispatch_frame
+
+        def spy_dispatch(gate):
+            events.append("frame")
+            return orig_dispatch(gate)
+
+        eng._dispatch_frame = spy_dispatch
+
+        live = await eng.submit(
+            [5, 6], SamplingParams(temperature=0.9, max_tokens=500,
+                                   stop_token_ids=())
+        )
+        live_out = []
+
+        async def consume():
+            async for t in live.tokens():
+                live_out.append(t)
+
+        consumer = asyncio.get_event_loop().create_task(consume())
+        while live.generated < 7:
+            await asyncio.sleep(0.01)
+        # 80-token prompt with chunk=16 -> 4 full chunks + 1 sampling chunk
+        long_ids = [2 + (i % 40) for i in range(80)]
+        lr = await eng.submit(
+            long_ids, SamplingParams(max_tokens=3, stop_token_ids=())
+        )
+        long_out = [t async for t in lr.tokens()]
+        eng.cancel(live)
+        await consumer
+        await eng.close()
+        return long_out, live_out
+
+    long_out, live_out = _run(go())
+    assert len(long_out) == 3           # the long prompt decoded fine
+    assert len(live_out) >= 7           # the live stream kept flowing
+    # cadence invariant: chunks never ran back-to-back while live decoded
+    chunk_idx = [i for i, e in enumerate(events) if e == "chunk"]
+    assert len(chunk_idx) == 5
+    for a, b in zip(chunk_idx, chunk_idx[1:]):
+        assert any(e == "frame" for e in events[a + 1 : b]), (
+            f"prefill chunks at {a} and {b} dispatched with no decode "
+            f"frame between them: {events}"
+        )
