@@ -13,7 +13,7 @@ import asyncio
 import logging
 from typing import List, Optional
 
-from ..codec.streaming import StreamingSnacDecoder
+from ..codec.stream_decode import make_stream_decoder
 from ..model.sampling import SamplingParams
 from ..model.tokenizer import DEFAULT_VOICE, default_tokenizer, format_prompt_ids
 from ..orchestrator.adapter import AudioChunk
@@ -96,7 +96,7 @@ class LocalJaxAdapter:
                         self._push(pcm)
                         await self._wait_space()
                     continue
-                decoder = StreamingSnacDecoder(
+                decoder = make_stream_decoder(
                     runtime.snac_params, runtime.snac_cfg, mode=self.decoder_mode
                 )
                 req = await runtime.engine.submit(prompt_ids, self.sampling)

@@ -20,7 +20,7 @@ import httpx
 import numpy as np
 
 from ..codec.frames import parse_custom_token
-from ..codec.streaming import StreamingSnacDecoder
+from ..codec.stream_decode import make_stream_decoder
 from ..model.sampling import SamplingParams
 from ..model.tokenizer import DEFAULT_VOICE
 from ..orchestrator.adapter import AudioChunk
@@ -109,12 +109,17 @@ async def stream_pcm_from_api(
     prompt: str,
     voice: str = DEFAULT_VOICE,
     sampling: Optional[SamplingParams] = None,
-    decoder_mode: str = "native",
+    decoder_mode: str = "exact",
     client: Optional[httpx.AsyncClient] = None,
 ) -> AsyncGenerator[bytes, None]:
-    """Tokens -> local SNAC decode -> PCM16 byte hops, batching long text."""
+    """Tokens -> local SNAC decode -> PCM16 byte hops, batching long text.
+
+    Default decode quality is the exact stateful decoder — the same kernel
+    the engine's audio mode uses, so an identical token trace produces
+    identical PCM on every path (windowed/parity modes stay for A/B).
+    """
     runtime = await get_runtime().ensure()
-    decoder = StreamingSnacDecoder(
+    decoder = make_stream_decoder(
         runtime.snac_params, runtime.snac_cfg, mode=decoder_mode
     )
     batches = (

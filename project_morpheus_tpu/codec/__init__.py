@@ -31,13 +31,17 @@ from .snac_jax import snac_decode, snac_encode
 from .weights import init_snac_params
 from .streaming import StreamingSnacDecoder, HOP_SAMPLES
 from .stream_decode import (
+    ExactStreamDecoder,
     StreamPlanner,
     init_stream_state,
+    make_stream_decoder,
     reset_lanes,
     snac_stream_step,
 )
 
 __all__ = [
+    "ExactStreamDecoder",
+    "make_stream_decoder",
     "StreamPlanner",
     "init_stream_state",
     "reset_lanes",

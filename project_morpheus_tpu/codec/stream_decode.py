@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -321,3 +321,73 @@ class StreamPlanner:
         assert self.emitted >= lo, "tail frames fell outside the flush window"
         self.emitted = T + 1
         return [Hop(np.concatenate(win), False, emits)]
+
+
+class ExactStreamDecoder:
+    """Single-stream facade over the exact stateful decoder (one lane).
+
+    Same ``push_tokens``/``flush``/``reset`` surface as
+    ``streaming.StreamingSnacDecoder``, but hops run through
+    ``snac_stream_step`` — the identical kernel the serving engine's audio
+    mode batches across slots — so the remote-SSE backend and the pypi
+    facade emit bit-identical PCM to the engine path for an identical
+    token trace (one decode quality everywhere; the windowed decoder
+    stays for A/B and reference-parity golden traces).
+    """
+
+    def __init__(self, params, cfg: Optional[SNACConfig] = None) -> None:
+        self.params = jax.device_put(params)
+        self.cfg = cfg or SNACConfig.snac_24khz()
+        self.reset()
+
+    def reset(self) -> None:
+        self.planner = StreamPlanner()
+        self.state = init_stream_state(self.cfg, 1)
+
+    def _run_hops(self, hops: List[Hop]) -> List[np.ndarray]:
+        out: List[np.ndarray] = []
+        hop_samples = self.cfg.frame_samples
+        for h in hops:
+            pcm, self.state = snac_stream_step(
+                self.params,
+                jnp.asarray(h.window[None]),
+                self.state,
+                jnp.asarray([h.commit]),
+                cfg=self.cfg,
+            )
+            pcm_np = np.asarray(pcm)
+            for _frame_idx, ws in h.emits:
+                out.append(
+                    pcm_np[0, ws * hop_samples : (ws + 1) * hop_samples]
+                )
+        return out
+
+    def push_tokens(self, codes: Sequence[int]) -> List[np.ndarray]:
+        hops: List[Hop] = []
+        for c in codes:
+            hops.extend(self.planner.push(int(c)))
+        return self._run_hops(hops)
+
+    def flush(self) -> List[np.ndarray]:
+        return self._run_hops(self.planner.flush())
+
+
+def make_stream_decoder(params, cfg: Optional[SNACConfig] = None,
+                        mode: str = "exact"):
+    """One decode quality everywhere: mode routing for per-stream decode.
+
+    - ``"exact"`` / ``"native"`` (default): ExactStreamDecoder — identical
+      PCM to the engine's batched audio path for the same token trace.
+    - ``"windowed"``: the windowed recompute decoder (A/B comparisons).
+    - ``"parity"``: reference-quirk-exact windowed decoder (golden traces
+      vs speechpipe.py:191-293).
+    """
+    if mode in ("exact", "native"):
+        return ExactStreamDecoder(params, cfg)
+    from .streaming import StreamingSnacDecoder
+
+    if mode == "windowed":
+        return StreamingSnacDecoder(params, cfg, mode="native")
+    if mode == "parity":
+        return StreamingSnacDecoder(params, cfg, mode="parity")
+    raise ValueError(f"unknown decoder mode {mode!r}")

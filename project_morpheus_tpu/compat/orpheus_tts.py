@@ -18,7 +18,7 @@ from typing import Generator, Iterable, Optional
 
 from ..adapters.runtime import audio_code_from_token_id, get_runtime
 from ..codec.frames import custom_number_from_audio_code
-from ..codec.streaming import StreamingSnacDecoder
+from ..codec.stream_decode import ExactStreamDecoder
 from ..model.sampling import SamplingParams
 from ..model.tokenizer import DEFAULT_VOICE, default_tokenizer, format_prompt_ids
 
@@ -99,7 +99,8 @@ class OrpheusModel:
                 stop_token_ids=tuple(kwargs.get("stop_token_ids", (128258,))),
             )
             req = await runtime.engine.submit(ids, sampling)
-            decoder = StreamingSnacDecoder(runtime.snac_params, runtime.snac_cfg)
+            # exact stateful decode: identical PCM to the engine audio path
+            decoder = ExactStreamDecoder(runtime.snac_params, runtime.snac_cfg)
             pos = 0
             async for token_id in req.tokens():
                 code = audio_code_from_token_id(token_id, pos)

@@ -185,3 +185,47 @@ def test_local_adapter_buffer_bounded_without_pulls():
 
     total = asyncio.run(go())
     assert total > 256  # more audio than the cap ever held at once
+
+
+def test_remote_path_pcm_identical_to_exact_decoder(monkeypatch):
+    """Identical token trace -> identical PCM on the remote-SSE path and
+    the exact stream decoder (one decode quality on every path)."""
+    import numpy as np
+
+    from project_morpheus_tpu.adapters import remote_backend as rb
+    from project_morpheus_tpu.codec.frames import custom_number_from_audio_code
+    from project_morpheus_tpu.codec.stream_decode import ExactStreamDecoder
+
+    monkeypatch.setenv("ORPHEUS_API_URL", "http://fake/v1/completions")
+
+    codes = [(i * 37) % 4000 + 1 for i in range(35)]  # 5 frames
+    tokens = [
+        f"<custom_token_{custom_number_from_audio_code(c, i)}>"
+        for i, c in enumerate(codes)
+    ]
+    sse = b"".join(
+        b'data: {"choices": [{"text": "' + t.encode() + b'"}]}\n\n'
+        for t in tokens
+    ) + b"data: [DONE]\n\n"
+
+    def handler(request: httpx.Request) -> httpx.Response:
+        return httpx.Response(200, content=sse)
+
+    async def go():
+        client = httpx.AsyncClient(transport=httpx.MockTransport(handler))
+        out = bytearray()
+        async for pcm in rb.stream_pcm_from_api("hi", client=client):
+            out.extend(pcm)
+        await client.aclose()
+        runtime = await get_runtime().ensure()
+        dec = ExactStreamDecoder(runtime.snac_params, runtime.snac_cfg)
+        want = bytearray()
+        for h in dec.push_tokens(codes):
+            want.extend(h.tobytes())
+        for h in dec.flush():
+            want.extend(h.tobytes())
+        return bytes(out), bytes(want)
+
+    got, want = asyncio.run(go())
+    assert len(got) > 0
+    assert got == want

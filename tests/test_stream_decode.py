@@ -109,3 +109,47 @@ def test_reset_lanes(cfg, params):
 
 def test_window_shape_contract(cfg):
     assert WINDOW_FRAMES == 4 and EMIT_SLOT == 1
+
+
+def test_exact_stream_decoder_matches_prefix_oracle(cfg, params):
+    """The single-lane facade (remote/pypi paths) must emit exactly what a
+    full prefix decode does at every mid-stream frame — the same quality
+    the engine's batched audio path serves."""
+    from project_morpheus_tpu.codec.stream_decode import ExactStreamDecoder
+
+    rng = np.random.default_rng(7)
+    N = 9
+    frames = rng.integers(0, cfg.codebook_size, size=(N, 7)).astype(np.int32)
+
+    dec = ExactStreamDecoder(params, cfg)
+    hops = []
+    for code in frames.reshape(-1):
+        hops.extend(dec.push_tokens([int(code)]))
+    hops.extend(dec.flush())
+    assert len(hops) == N  # one hop per frame, head to flushed tail
+
+    for t in range(3, N):  # steady-state frames have exact prefix context
+        want = _prefix_oracle(params, frames, t, cfg)
+        got = hops[t - 2]
+        assert np.max(
+            np.abs(got.astype(np.int32) - want.astype(np.int32))
+        ) <= 1
+
+
+def test_make_stream_decoder_modes(cfg, params):
+    from project_morpheus_tpu.codec.stream_decode import (
+        ExactStreamDecoder,
+        make_stream_decoder,
+    )
+    from project_morpheus_tpu.codec.streaming import StreamingSnacDecoder
+
+    assert isinstance(make_stream_decoder(params, cfg), ExactStreamDecoder)
+    assert isinstance(
+        make_stream_decoder(params, cfg, mode="native"), ExactStreamDecoder
+    )
+    w = make_stream_decoder(params, cfg, mode="windowed")
+    assert isinstance(w, StreamingSnacDecoder) and w.mode == "native"
+    p = make_stream_decoder(params, cfg, mode="parity")
+    assert isinstance(p, StreamingSnacDecoder) and p.mode == "parity"
+    with pytest.raises(ValueError):
+        make_stream_decoder(params, cfg, mode="bogus")
