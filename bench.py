@@ -1,231 +1,265 @@
 #!/usr/bin/env python3
-"""Benchmark: streamed-synthesis realtime factor on one TPU chip.
+"""Measured end-to-end serving benchmark on the LIVE engine (one TPU chip).
 
-Measures the serving compute path at the step level:
+Unlike the r1/r2 step-composite bench, every number here is wall-clock
+through the shipped serving stack: ``OrpheusEngine`` in audio mode
+(continuous batching, async admission, chunked prefill, pipelined frame
+loop, stateful exact SNAC decode) driven by concurrent asyncio consumers
+exactly like the HTTP layer drives it.
 
-- the jitted continuous-batching decode step (Orpheus-3B-architecture,
-  bf16, batch 8, 2048-token KV cache) including per-slot sampling
-  (temperature/top-p/repetition-penalty over the 156k vocab), and
-- the SNAC 24 kHz hop decode (7-frame window -> 2048-sample hop),
+Measured per context row (ctx 512 / 2048 / 8000, batch 8):
+- ``ttfa_ms`` p50/p95: submit() -> first PCM hop received, all 8 streams
+  admitted simultaneously (worst-case arrival burst).
+- ``rtf``: PCM seconds actually delivered / wall-clock for the batch.
+- ``hop_gap_ms`` median: steady-state frame cadence seen by a consumer.
 
-and derives audio-seconds-per-wall-second per chip (realtime factor).
-Each generated token yields 85.3/7 ms of audio (BASELINE.md contract).
+Plus:
+- frame cadence while an 8k prompt admits mid-stream (chunked prefill
+  interleaves one chunk per frame): p95 hop gap during admission vs steady.
+- int8-KV A/B at the 8k row (cache_dtype="int8" halves KV HBM traffic).
 
-Timing methodology: the axon TPU tunnel acks dispatch asynchronously, so
-``block_until_ready`` does NOT reflect execution; every measurement chains
-N data-dependent iterations and forces a host readback of the final value,
-dividing wall time by N.
+Random weights stand in for the checkpoint; the embedding rows of the
+audio-token band are scaled so sampling lands in the audio range and the
+token->PCM path carries real traffic (band-agnostic code mapping via
+EngineConfig.lenient_audio_codes — compute is identical to production).
+Reference baselines: ~200 ms TTFA (Orpheus-TTS/README.md:21) and 1x
+realtime per stream (~82 tok/s, BASELINE.md).
 
 Prints ONE JSON line:
     {"metric": "audio_s_per_s_per_chip_batch8", "value": X,
-     "unit": "x_realtime", "vs_baseline": X, ...extras}
-
-``vs_baseline`` is the ratio against the reference's implied 1x-realtime
-streaming per stream (~82 tok/s, BASELINE.md); the north-star target is
->= 10x at batch 8.
+     "unit": "x_realtime", "vs_baseline": X, ...rows...}
 """
 from __future__ import annotations
 
+import asyncio
 import json
 import time
 
-AUDIO_S_PER_TOKEN = 0.085333 / 7  # 2048 samples @ 24 kHz per 7-token frame
+SR = 24_000
+AUDIO_LO = 128_266          # ORPHEUS_SPECIAL_TOKENS["audio_base"]
+AUDIO_HI = AUDIO_LO + 7 * 4096
+
+
+def _pct(xs, q):
+    if not xs:
+        return None
+    xs = sorted(xs)
+    i = min(len(xs) - 1, max(0, int(round(q * (len(xs) - 1)))))
+    return xs[i]
+
+
+async def _drive_stream(engine, ids, sampling):
+    """Submit one audio request; record wall TTFA + every hop arrival."""
+    t0 = time.perf_counter()
+    req = await engine.submit(ids, sampling, audio=True)
+    times, nbytes = [], 0
+    async for pcm in req.pcm_chunks():
+        times.append(time.perf_counter())
+        nbytes += len(pcm)
+    return {"t0": t0, "times": times, "bytes": nbytes}
+
+
+def _prompt(ctx, seed):
+    # text-range ids; content is irrelevant for random weights
+    return [(seed * 7919 + j * 31) % 100_000 + 10 for j in range(ctx)]
+
+
+async def _run_row(engine, n_streams, ctx, max_tokens, sampling_cls):
+    sp = sampling_cls(
+        temperature=0.6, top_p=0.9, repetition_penalty=1.1,
+        max_tokens=max_tokens, stop_token_ids=(),
+    )
+    t_start = time.perf_counter()
+    outs = await asyncio.gather(
+        *[
+            _drive_stream(engine, _prompt(ctx, i), sp)
+            for i in range(n_streams)
+        ]
+    )
+    wall = time.perf_counter() - t_start
+    ttfas = [
+        (o["times"][0] - o["t0"]) * 1000.0 for o in outs if o["times"]
+    ]
+    gaps = []
+    for o in outs:
+        ts = o["times"]
+        gaps.extend(
+            (b - a) * 1000.0 for a, b in zip(ts, ts[1:])
+        )
+    audio_s = sum(o["bytes"] for o in outs) / 2 / SR
+    return {
+        "ctx": ctx,
+        "streams": n_streams,
+        "audio_s_delivered": round(audio_s, 2),
+        "wall_s": round(wall, 3),
+        "rtf": round(audio_s / wall, 3) if wall > 0 else 0.0,
+        "ttfa_ms_p50": round(_pct(ttfas, 0.5), 1) if ttfas else None,
+        "ttfa_ms_p95": round(_pct(ttfas, 0.95), 1) if ttfas else None,
+        "hop_gap_ms_p50": round(_pct(gaps, 0.5), 2) if gaps else None,
+        "hop_gap_ms_p95": round(_pct(gaps, 0.95), 2) if gaps else None,
+    }
+
+
+async def _run_cadence_probe(engine, n_live, ctx_live, long_ctx,
+                             max_tokens, sampling_cls):
+    """7 live streams; admit one long prompt mid-stream; compare hop-gap
+    p95 during the admission window vs steady state."""
+    sp = sampling_cls(
+        temperature=0.6, top_p=0.9, repetition_penalty=1.1,
+        max_tokens=max_tokens, stop_token_ids=(),
+    )
+    live_tasks = [
+        asyncio.ensure_future(
+            _drive_stream(engine, _prompt(ctx_live, 100 + i), sp)
+        )
+        for i in range(n_live)
+    ]
+    # let the live batch admit and reach steady cadence
+    await asyncio.sleep(1.0)
+    t_admit = time.perf_counter()
+    long_sp = sampling_cls(
+        temperature=0.6, top_p=0.9, repetition_penalty=1.1,
+        max_tokens=28, stop_token_ids=(),
+    )
+    long_out = await _drive_stream(engine, _prompt(long_ctx, 999), long_sp)
+    t_long_first = long_out["times"][0] if long_out["times"] else None
+    outs = await asyncio.gather(*live_tasks)
+
+    during, steady = [], []
+    for o in outs:
+        ts = o["times"]
+        for a, b in zip(ts, ts[1:]):
+            gap = (b - a) * 1000.0
+            if t_long_first and t_admit <= b <= t_long_first:
+                during.append(gap)
+            else:
+                steady.append(gap)
+    return {
+        "long_ctx": long_ctx,
+        "long_ttfa_ms": (
+            round((t_long_first - long_out["t0"]) * 1000.0, 1)
+            if t_long_first
+            else None
+        ),
+        "live_hop_gap_ms_p95_steady": (
+            round(_pct(steady, 0.95), 2) if steady else None
+        ),
+        "live_hop_gap_ms_p95_during_admission": (
+            round(_pct(during, 0.95), 2) if during else None
+        ),
+        "gaps_during_admission": len(during),
+    }
 
 
 def main() -> None:
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     platform = jax.default_backend()
     on_tpu = platform == "tpu"
 
     from project_morpheus_tpu.codec import SNACConfig, init_snac_params
-    from project_morpheus_tpu.codec.streaming import _decode_window_slice
-    from project_morpheus_tpu.engine.engine import _decode, _prefill
+    from project_morpheus_tpu.engine import EngineConfig, OrpheusEngine
     from project_morpheus_tpu.model import LlamaConfig, init_llama_params
-    from project_morpheus_tpu.model.llama import init_kv_cache
+    from project_morpheus_tpu.model.quant import quantize_params_int8
+    from project_morpheus_tpu.model.sampling import SamplingParams
 
     if on_tpu:
         cfg = LlamaConfig.orpheus_3b()
         dtype = jnp.bfloat16
-        slots, max_seq, ctx = 8, 2048, 512
         snac_cfg = SNACConfig.snac_24khz()
-        iters = 25
-    else:  # CI/CPU smoke fallback — numbers are not the headline
-        cfg = LlamaConfig.tiny_vocab()
+        # bf16-KV engine: 8 slots x 4096 ctx (8 x 8192 bf16 KV would be
+        # ~15 GiB cache + 3.3 GiB int8 weights > 16 GiB HBM — the 8k
+        # serving posture at batch 8 REQUIRES the int8 KV cache)
+        bf16_max_seq, bf16_rows_spec = 4096, [(512, 280), (2048, 280)]
+        int8_max_seq, int8_rows_spec = 8192, [(2048, 280), (8000, 140)]
+        n_streams = 8
+        warm_tokens = 14
+        model_name = "orpheus_3b_int8w"
+    else:  # CI/CPU smoke — numbers are not the headline
+        cfg = LlamaConfig.tiny()
         dtype = jnp.float32
-        slots, max_seq, ctx = 8, 256, 64
         snac_cfg = SNACConfig.tiny()
-        iters = 5
+        bf16_max_seq, bf16_rows_spec = 256, [(48, 28)]
+        int8_max_seq, int8_rows_spec = 256, []
+        n_streams = 4
+        warm_tokens = 7
+        model_name = "tiny_cpu_smoke"
 
     params = init_llama_params(cfg, jax.random.key(0), dtype=dtype)
-
-    B = slots
-    d = {
-        "cache": init_kv_cache(cfg, B, max_seq, jnp.bfloat16 if on_tpu else jnp.float32),
-        "lengths": jnp.full((B,), ctx, jnp.int32),
-        "active": jnp.ones((B,), jnp.bool_),
-        "last_tokens": jnp.full((B,), 128266, jnp.int32),
-        "presence": jnp.zeros((B, cfg.padded_vocab), jnp.bool_),
-        "temp": jnp.full((B,), 0.6, jnp.float32),
-        "top_p": jnp.full((B,), 0.9, jnp.float32),
-        "rep_pen": jnp.full((B,), 1.1, jnp.float32),
-    }
-    k = jax.random.key(1)
-
-    # --- decode step (batch 8): chained with forced readback ---
-    # dense bucketed attention is the serving default (EngineConfig.attn_impl
-    # auto -> dense); the bucket mirrors what the engine picks at ctx 512
-    attn_impl = "dense"
-    bucket = 1024 if on_tpu else None  # engine bucket covering ctx 512 + frames
-
-    from project_morpheus_tpu.model.quant import (
-        fuse_layer_weights,
-        quantize_params_int8,
-    )
-
-    def time_decode(p, state):
-        state, toks = _decode(
-            p, state, k, cfg=cfg, attn_impl=attn_impl, bucket=bucket
-        )
-        np.asarray(toks)  # compile + first exec
-        best = float("inf")
-        for _trial in range(2):
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                state, toks = _decode(
-                    p, state, k, cfg=cfg, attn_impl=attn_impl, bucket=bucket
-                )
-            np.asarray(toks)
-            best = min(best, (time.perf_counter() - t0) / iters)
-        return best, state
-
-    fparams = fuse_layer_weights(params)
-    del params  # keep HBM headroom: fused copy + cache + quantized copy
-    step_time_bf16, d = time_decode(fparams, d)
-
-    # int8 weight-only path (serving default on TPU: ORPHEUS_QUANT=int8)
-    qparams = quantize_params_int8(fparams)
-    del fparams
-    step_time_int8, d = time_decode(qparams, d)
-    step_time = min(step_time_bf16, step_time_int8)
-    params_for_prefill = qparams  # serving default posture (int8 fused)
-
-    # --- frame dispatch: 7 tokens per sync (the actual serving cadence) ---
-    from project_morpheus_tpu.engine.engine import _decode_multi
-
-    best_params = params_for_prefill
-    d["active"] = jnp.ones((B,), jnp.bool_)
-
-    def time_multi(state):
-        nonlocal_best = float("inf")
-        state, toks = _decode_multi(
-            best_params, state, k, cfg=cfg, attn_impl=attn_impl,
-            n_steps=7, stop_ids=(128258,), bucket=bucket,
-        )
-        np.asarray(toks)
-        for _trial in range(2):
-            t0 = time.perf_counter()
-            for _ in range(max(iters // 4, 3)):
-                state, toks = _decode_multi(
-                    best_params, state, k, cfg=cfg, attn_impl=attn_impl,
-                    n_steps=7, stop_ids=(128258,), bucket=bucket,
-                )
-                state["active"] = jnp.ones((B,), jnp.bool_)
-            np.asarray(toks)
-            nonlocal_best = min(
-                nonlocal_best,
-                (time.perf_counter() - t0) / max(iters // 4, 3),
-            )
-        return nonlocal_best, state
-
-    frame_time, d = time_multi(d)
-
-    # --- SNAC hop decode: single-stream and batched across all slots ---
-    from project_morpheus_tpu.codec.streaming import decode_windows_batched
-
+    # steer sampling into the audio-token range (see module docstring)
+    params["embed"] = params["embed"].at[AUDIO_LO:AUDIO_HI].multiply(10.0)
+    if on_tpu:
+        # serving default posture (DECISIONS r1-010): int8 fused weights
+        params = quantize_params_int8(params)
     snac_params = init_snac_params(snac_cfg, seed=0)
-    window = jnp.zeros((49,), jnp.int32)
 
-    def hop(window):
-        pcm = _decode_window_slice(
-            snac_params, window, cfg=snac_cfg, n_frames=7,
-            emit_lo=4 * snac_cfg.frame_samples, emit_hi=5 * snac_cfg.frame_samples,
+    def build_engine(cache_dtype, max_seq):
+        return OrpheusEngine(
+            params,
+            cfg,
+            EngineConfig(
+                max_slots=n_streams,
+                max_seq_len=max_seq,
+                cache_dtype=cache_dtype,
+                lenient_audio_codes=True,
+            ),
+            codec=(snac_params, snac_cfg),
         )
-        # derive the next window from the output so iterations chain
-        return (window + pcm[:49].astype(jnp.int32) % 2) % 4096, pcm
 
-    window, pcm = hop(window)
-    np.asarray(pcm)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        window, pcm = hop(window)
-    np.asarray(pcm)
-    hop_time = (time.perf_counter() - t0) / iters
+    async def bench_engine(engine, row_list, cadence_long_ctx=None):
+        out_rows = []
+        for ctx, max_toks in row_list:
+            # warmup compiles every program the measured run uses
+            await _run_row(engine, n_streams, ctx, warm_tokens, SamplingParams)
+            out_rows.append(
+                await _run_row(engine, n_streams, ctx, max_toks, SamplingParams)
+            )
+        cad = None
+        if cadence_long_ctx:
+            # warm the short-ctx programs the live streams need
+            await _run_row(engine, n_streams, 512, warm_tokens, SamplingParams)
+            cad = await _run_cadence_probe(
+                engine, n_streams - 1, 512,
+                cadence_long_ctx, 560, SamplingParams,
+            )
+        await engine.close()
+        return out_rows, cad
 
-    windows = jnp.zeros((B, 49), jnp.int32)
+    engine = build_engine("bfloat16", bf16_max_seq)
+    bf16_rows, _ = asyncio.run(bench_engine(engine, bf16_rows_spec))
+    del engine
 
-    def bhop(windows):
-        pcm = decode_windows_batched(
-            snac_params, windows, cfg=snac_cfg,
-            emit_lo=4 * snac_cfg.frame_samples, emit_hi=5 * snac_cfg.frame_samples,
+    int8_rows, cadence = None, None
+    if int8_rows_spec:
+        # int8 KV: the 8-slot 8k serving posture (and the 2048 A/B row)
+        engine = build_engine("int8", int8_max_seq)
+        int8_rows, cadence = asyncio.run(
+            bench_engine(engine, int8_rows_spec,
+                         cadence_long_ctx=int8_rows_spec[-1][0])
         )
-        return (windows + pcm[:, :49].astype(jnp.int32) % 2) % 4096, pcm
+        del engine
 
-    windows, bpcm = bhop(windows)
-    np.asarray(bpcm)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        windows, bpcm = bhop(windows)
-    np.asarray(bpcm)
-    bhop_time = (time.perf_counter() - t0) / iters
-
-    # serving cadence: one frame dispatch (7 tokens x B slots) + one batched
-    # hop decode (B windows) per 7-token frame
-    audio_per_frame = B * 7 * AUDIO_S_PER_TOKEN
-    total_per_frame = frame_time + bhop_time
-    rtf_batch = audio_per_frame / total_per_frame
-    tokens_per_s = B * 7 / total_per_frame
-
-    # legacy single-step accounting kept for comparison
-    rtf_single = B * AUDIO_S_PER_TOKEN / (step_time + (B / 7.0) * hop_time)
-
-    # --- TTFA estimate: prefill(64-token prompt) + 7 steps + first hop ---
-    samp = jnp.asarray([0.6, 0.9, 1.1], jnp.float32)
-    d, first = _prefill(
-        params_for_prefill, d, jnp.zeros((1, 64), jnp.int32), jnp.asarray(48, jnp.int32),
-        jnp.asarray(0, jnp.int32), samp, jax.random.key(2), cfg=cfg,
-    )
-    np.asarray(first)  # compile
-    t0 = time.perf_counter()
-    d, first = _prefill(
-        params_for_prefill, d, jnp.zeros((1, 64), jnp.int32), jnp.asarray(48, jnp.int32),
-        jnp.asarray(0, jnp.int32), samp, jax.random.key(3), cfg=cfg,
-    )
-    np.asarray(first)
-    prefill_time = time.perf_counter() - t0
-    ttfa_ms = (prefill_time + frame_time + hop_time) * 1000.0
-
+    headline = bf16_rows[0]["rtf"]
     result = {
         "metric": "audio_s_per_s_per_chip_batch8",
-        "value": round(rtf_batch, 3),
+        "value": headline,
         "unit": "x_realtime",
-        "vs_baseline": round(rtf_batch, 3),  # baseline = 1x realtime stream
+        "vs_baseline": headline,  # baseline = 1x realtime per stream
         "platform": platform,
-        "model": "orpheus_3b_bf16" if on_tpu else "tiny_cpu_smoke",
-        "decode_step_ms": round(step_time * 1000, 3),
-        "decode_step_ms_bf16": round(step_time_bf16 * 1000, 3),
-        "decode_step_ms_int8": round(step_time_int8 * 1000, 3),
-        "frame7_dispatch_ms": round(frame_time * 1000, 3),
-        "snac_hop_ms": round(hop_time * 1000, 3),
-        "snac_hop_batched_ms": round(bhop_time * 1000, 3),
-        "rtf_single_step_accounting": round(rtf_single, 3),
-        "prefill64_ms": round(prefill_time * 1000, 3),
-        "tokens_per_s_batch8": round(tokens_per_s, 1),
-        "est_ttfa_ms": round(ttfa_ms, 1),
-        "slots": B,
-        "context": ctx,
+        "model": model_name,
+        "measured": True,  # wall-clock through the live engine, not derived
+        "measured_ttfa_ms_p50": bf16_rows[0]["ttfa_ms_p50"],
+        "measured_ttfa_ms_p95": bf16_rows[0]["ttfa_ms_p95"],
+        "rows_bf16_kv": bf16_rows,
+        "rows_int8_kv": int8_rows,
+        "bf16_kv_8k_note": (
+            "8 slots x 8192 bf16 KV (~15 GiB) + weights exceeds 16 GiB "
+            "HBM; int8 KV is the 8k batch-8 posture"
+            if on_tpu else None
+        ),
+        "cadence_under_8k_admission": cadence,
+        "slots": n_streams,
     }
     print(json.dumps(result))
 

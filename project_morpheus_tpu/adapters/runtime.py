@@ -149,6 +149,14 @@ class ServingRuntime:
             else:
                 from ..training.checkpoint import restore_params
 
+                # an orbax dir written by scripts/convert_checkpoint.py
+                # carries its own architecture config
+                cfg_json = d / "llama_config.json"
+                if cfg_json.exists():
+                    import json
+
+                    cfg = LlamaConfig(**json.loads(cfg_json.read_text()))
+                    self.model_cfg = cfg
                 params = restore_params(ckpt, cfg)
         else:
             dtype = jnp.float32 if size == "tiny" else jnp.bfloat16
@@ -201,4 +209,16 @@ def audio_code_from_token_id(token_id: int, audio_pos: int) -> Optional[int]:
     code = token_id - AUDIO_BASE - (audio_pos % 7) * CODEBOOK
     if 0 <= code < CODEBOOK:
         return code
+    return None
+
+
+def lenient_audio_code(token_id: int) -> Optional[int]:
+    """Band-agnostic mapping: any audio-range id -> its in-band code.
+
+    Bench/demo aid for random-weight models whose sampled audio ids land
+    in arbitrary sub-bands; real checkpoints use the exact parser above.
+    """
+    off = token_id - AUDIO_BASE
+    if 0 <= off < 7 * CODEBOOK:
+        return off % CODEBOOK
     return None

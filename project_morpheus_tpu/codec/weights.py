@@ -225,6 +225,10 @@ def params_from_torch_state(state: TorchState, cfg: SNACConfig) -> Dict[str, obj
     dec["out_w"] = _t_conv(state["decoder.out.weight"])
     dec["out_b"] = state["decoder.out.bias"]
 
+    if "encoder.in.weight" not in state:
+        # decode-only checkpoint (serving never encodes)
+        return {"quantizer": quant, "decoder": dec, "encoder": None}
+
     enc: Dict[str, object] = {
         "in_w": _t_conv(state["encoder.in.weight"]),
         "in_b": state["encoder.in.bias"],

@@ -67,6 +67,11 @@ class EngineConfig:
     # analogue of the reference's pull-per-chunk pacing (core.py:88-117).
     max_queued_hops: int = 24       # audio mode: ~2 s of PCM at 85 ms hops
     max_queued_tokens: int = 512    # token mode
+    # Band-agnostic token->code mapping (code = (id-base) % 4096 for any id
+    # in the 7*4096 audio range).  For benches/demos on random weights,
+    # which sample audio-range ids in arbitrary sub-bands; real checkpoints
+    # emit strictly banded ids and keep the exact parser.
+    lenient_audio_codes: bool = False
     default_stop_ids: Tuple[int, ...] = (
         ORPHEUS_SPECIAL_TOKENS["end_of_speech"],
         ORPHEUS_SPECIAL_TOKENS["end_of_text"],
@@ -736,10 +741,16 @@ class OrpheusEngine:
         """Deliver one sampled token and stage its audio hops (if any)."""
         self._deliver(req, token)
         if req.audio:
-            from ..adapters.runtime import audio_code_from_token_id
+            from ..adapters.runtime import (
+                audio_code_from_token_id,
+                lenient_audio_code,
+            )
 
             # stop/special ids fall outside the audio band -> None
-            code = audio_code_from_token_id(token, req.audio_pos)
+            if self.ecfg.lenient_audio_codes:
+                code = lenient_audio_code(token)
+            else:
+                code = audio_code_from_token_id(token, req.audio_pos)
             if code is not None:
                 req.audio_pos += 1
                 for h in req.planner.push(code):

@@ -102,3 +102,23 @@ def test_noise_rng_changes_output(tiny_cfg, tiny_params):
     a = snac_decode(tiny_params, list(codes), tiny_cfg, noise_rng=None)
     b = snac_decode(tiny_params, list(codes), tiny_cfg, noise_rng=jax.random.key(0))
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_full_snac24khz_topology_parity():
+    """Full ``snac_24khz`` topology (decoder_dim 1536, real rates/strides)
+    with random weights: a layout bug that only manifests at the real dims
+    would pass every tiny gate and fail here (VERDICT r2 next #2).  The
+    same harness ingests the real checkpoint via scripts/convert_snac.py +
+    scripts/fidelity_gate.py."""
+    cfg = SNACConfig.snac_24khz()
+    state = random_torch_state(cfg, seed=11)
+    params = params_from_torch_state(state, cfg)
+    m = SnacDecoderOracle(cfg)
+    m.load_state(state)
+    m.eval()
+    codes = _random_codes(cfg, n_frames=4, seed=5)
+    got = np.asarray(snac_decode(params, list(codes), cfg))
+    want = m.decode(codes)
+    assert got.shape == want.shape == (1, 4 * cfg.frame_samples)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-5)

@@ -153,3 +153,28 @@ def test_make_stream_decoder_modes(cfg, params):
     assert isinstance(p, StreamingSnacDecoder) and p.mode == "parity"
     with pytest.raises(ValueError):
         make_stream_decoder(params, cfg, mode="bogus")
+
+
+@pytest.mark.slow
+def test_stream_equals_prefix_decode_full_topology():
+    """Gold equivalence at the REAL snac_24khz dims: cached-tail streaming
+    hops equal the prefix decode at production size, not just tiny."""
+    from project_morpheus_tpu.codec import init_snac_params as _init
+
+    full = SNACConfig.snac_24khz()
+    fparams = _init(full, seed=4)
+    rng = np.random.default_rng(2)
+    N = 6
+    frames = rng.integers(0, full.codebook_size, size=(N, 7)).astype(np.int32)
+
+    state = init_stream_state(full, 1)
+    commit = jnp.ones((1,), bool)
+    hop = full.frame_samples
+    for t in range(3, N):
+        window = jnp.asarray(frames[t - 3 : t + 1].reshape(1, -1))
+        pcm, state = snac_stream_step(fparams, window, state, commit, cfg=full)
+        want = _prefix_oracle(fparams, frames, t, full)
+        got = np.asarray(pcm[0, EMIT_SLOT * hop : (EMIT_SLOT + 1) * hop])
+        assert np.max(
+            np.abs(got.astype(np.int32) - want.astype(np.int32))
+        ) <= 1
