@@ -39,8 +39,10 @@ def initialize_distributed(
         JAX_PROCESS_ID=$RANK python -m project_morpheus_tpu.training \\
             pretrain --config cfg.yaml
     """
-    if jax.process_count() > 1:
-        return True
+    # IMPORTANT: decide from env/args BEFORE touching any jax API that
+    # initialises the XLA backend (process_count/devices/...): calling
+    # jax.distributed.initialize after backend init raises.  Found by the
+    # 2-process exercise in tests/test_multiprocess.py.
     env = os.environ
     if coordinator_address is None:
         coordinator_address = env.get("JAX_COORDINATOR_ADDRESS")
@@ -55,12 +57,21 @@ def initialize_distributed(
         if "," in hostnames or env.get("MEGASCALE_COORDINATOR_ADDRESS"):
             jax.distributed.initialize()
             return jax.process_count() > 1
-        return False
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+        return jax.process_count() > 1
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        # idempotence: a live group (initialize called twice) is fine; a
+        # backend initialised before this call is a real ordering bug
+        if jax.process_count() <= 1:
+            raise RuntimeError(
+                "jax backend was initialised before initialize_distributed; "
+                "call it first thing in the entry point"
+            ) from e
     return jax.process_count() > 1
 
 
