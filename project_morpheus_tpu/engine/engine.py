@@ -392,6 +392,12 @@ class OrpheusEngine:
             from ..codec.stream_decode import init_stream_state
 
             self._snac_state = init_stream_state(codec[1], B)
+        # software-pipelined audio hops: SNAC dispatches from frame N are
+        # read back after frame N+1 is queued, so PCM transfer rides the
+        # shadow of the next frame instead of the serving loop's critical
+        # path.  Entries: ("pcm", device_pcm, [(slot, req, ws)]) in order,
+        # or ("eos", req) once a stream's final hop has been dispatched.
+        self._pending_audio: List[tuple] = []
         self._key = jax.random.key(seed)
         self.attn_impl = self.ecfg.attn_impl
         if self.attn_impl == "auto":
@@ -626,7 +632,12 @@ class OrpheusEngine:
 
     def _deliver(self, req: Request, token: int) -> None:
         """Route one sampled token to the request, handling stop conditions."""
-        stop_ids = set(req.sampling.stop_token_ids) | set(self.ecfg.default_stop_ids)
+        stop_ids = req.stop_set
+        if stop_ids is None:
+            stop_ids = req.stop_set = (
+                set(req.sampling.stop_token_ids)
+                | set(self.ecfg.default_stop_ids)
+            )
         req.generated += 1
         hit_stop = token in stop_ids
         # Evict with enough headroom that frames already dispatched (or about
@@ -784,7 +795,7 @@ class OrpheusEngine:
         if pending_hops:
             self._run_audio_hops(pending_hops)
         for req in finished_audio:
-            req.pcm_queue.put_nowait(None)
+            self._pending_audio.append(("eos", req))
 
     def _process_frame(self, toks, slot_map: Dict[int, Request]) -> None:
         """Readback + token routing for one completed frame dispatch.
@@ -812,7 +823,7 @@ class OrpheusEngine:
         if pending_hops:
             self._run_audio_hops(pending_hops)
         for req in finished_audio:
-            req.pcm_queue.put_nowait(None)
+            self._pending_audio.append(("eos", req))
 
     async def _run(self) -> None:
         # software-pipelined serving loop: while frame N executes on device,
@@ -820,15 +831,18 @@ class OrpheusEngine:
         # the in-flight dispatch), hiding host/tunnel latency entirely
         inflight: Optional[tuple] = None  # (toks device array, slot snapshot)
         while not self._closed:
-            # admission
-            while self._free and not self._pending.empty():
+            # admit at most ONE request per iteration: the first stream of
+            # an arrival burst gets its first frame after its own prefill
+            # instead of waiting out the whole burst's prefills (measured
+            # TTFA p50 514 ms for 8 simultaneous ctx-512 arrivals)
+            if self._free and not self._pending.empty():
                 req = self._pending.get_nowait()
-                if req.state is RequestState.CANCELLED:
-                    continue
-                self._admit(req)
+                if req.state is not RequestState.CANCELLED:
+                    self._admit(req)
 
             if not self._by_slot:
                 self._flush_first_tokens()  # all-cancelled edge: drop stale
+                self._flush_audio()
                 if inflight is not None:
                     self._process_frame(*inflight)
                     inflight = None
@@ -849,12 +863,14 @@ class OrpheusEngine:
                     # decode consumer saturated): keep admissions moving,
                     # chunk by chunk, without useless empty frames
                     self._advance_prefill()
+                    self._flush_audio()
                     self._flush_first_tokens()
                     await asyncio.sleep(0)
                     continue
                 # every live consumer queue is saturated: drain in-flight
                 # work, then park until a consumer get() wakes the loop
                 self._flush_first_tokens()
+                self._flush_audio()
                 if inflight is not None:
                     self._process_frame(*inflight)
                     inflight = None
@@ -877,6 +893,10 @@ class OrpheusEngine:
             # admissions cost one chunk-time of cadence per frame, never
             # a back-to-back chunk train (VERDICT r2 next #4)
             self._advance_prefill()
+            # hops dispatched last iteration executed behind the PREVIOUS
+            # frame; with this frame already queued, their readback costs
+            # nothing on the dispatch cadence
+            self._flush_audio()
             # first tokens from prefills dispatched before this frame: the
             # next frame is already queued, so this readback never stalls
             # the device pipeline
@@ -893,6 +913,7 @@ class OrpheusEngine:
         self._flush_first_tokens()
         if inflight is not None:
             self._process_frame(*inflight)
+        self._flush_audio()
 
     def _run_audio_hops(self, pending: List[tuple]) -> None:
         """Dispatch the stateful streaming SNAC decoder for pending hops.
@@ -910,7 +931,6 @@ class OrpheusEngine:
 
         snac_params, snac_cfg = self._codec
         B = self.ecfg.max_slots
-        hop_samples = snac_cfg.frame_samples
         W = pending[0][2].window.shape[0]
 
         by_slot: Dict[int, List[tuple]] = {}
@@ -936,8 +956,26 @@ class OrpheusEngine:
                 jnp.asarray(commit),
                 cfg=snac_cfg,
             )
+            # dispatch only; _flush_audio reads the PCM back after the
+            # NEXT frame is queued (device order: frame N, hops, frame
+            # N+1 — the readback waits for the hops alone)
+            self._pending_audio.append(("pcm", pcm, emits))
+
+    def _flush_audio(self) -> None:
+        """Read back and route every dispatched-but-undelivered hop."""
+        if not self._pending_audio:
+            return
+        entries, self._pending_audio = self._pending_audio, []
+        hop_samples = self._codec[1].frame_samples if self._codec else 0
+        for entry in entries:
+            if entry[0] == "eos":
+                entry[1].pcm_queue.put_nowait(None)
+                continue
+            _, pcm, emits = entry
             pcm_np = np.asarray(pcm)
             for slot, req, ws in emits:
+                if req.state is RequestState.CANCELLED:
+                    continue
                 req.pcm_queue.put_nowait(
                     pcm_np[slot, ws * hop_samples : (ws + 1) * hop_samples]
                     .tobytes()

@@ -46,6 +46,8 @@ class Request:
     # set by the engine at submit: called after every consumer get() so a
     # backpressure-parked loop wakes as soon as its queues drain
     on_drain: Optional[object] = None
+    # lazily-built union of per-request + engine-default stop ids
+    stop_set: Optional[set] = None
 
     def _drained(self) -> None:
         if self.on_drain is not None:
