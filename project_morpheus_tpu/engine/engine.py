@@ -57,7 +57,15 @@ class EngineConfig:
     # context instead of allocated capacity (DECISIONS r1-011)
     context_buckets: Tuple[int, ...] = (256, 512, 1024, 2048, 4096, 8192)
     cache_dtype: str = "bfloat16"
-    attn_impl: str = "auto"  # auto -> dense bucketed einsum (fastest measured)
+    # "auto" -> dense bucketed einsum at every context: XLA streams the
+    # cache at full HBM bandwidth in one fused op, and the int8 cache rides
+    # int8 MXU dots (llama.py decode path).  The per-(slot, head) pallas
+    # flash-decode kernel is DMA-latency-bound at batch 8 (measured
+    # 18.7 ms/layer at 8x8000 vs ~0.17 ms roofline — grid programs run
+    # serially on the single TensorCore); it stays behind attn_impl=
+    # "pallas" for A/B and for future whole-slot-DMA redesign.
+    attn_impl: str = "auto"
+    pallas_min_bucket: int = 2048  # used only when attn auto-selects pallas
     steps_per_sync: int = 0  # 0/auto -> 7 on TPU (one SNAC frame), 1 elsewhere
     pipeline_depth: int = 1  # frames in flight beyond the one being processed
     # Backpressure: a slot whose consumer queue is this deep is gated out of
@@ -400,11 +408,7 @@ class OrpheusEngine:
         self._pending_audio: List[tuple] = []
         self._key = jax.random.key(seed)
         self.attn_impl = self.ecfg.attn_impl
-        if self.attn_impl == "auto":
-            # dense bucketed einsum beats the per-layer pallas kernel for
-            # single-token decode (no 28x kernel-launch overhead); pallas
-            # stays available for A/B via attn_impl="pallas"
-            self.attn_impl = "dense"
+        self._on_tpu = jax.default_backend() == "tpu"
         self.steps_per_sync = self.ecfg.steps_per_sync
         if self.steps_per_sync <= 0:
             self.steps_per_sync = 7 if jax.default_backend() == "tpu" else 1
@@ -709,6 +713,12 @@ class OrpheusEngine:
             return jnp.ones((self.ecfg.max_slots,), jnp.bool_)
         return jnp.asarray(gate)
 
+    def _attn_for(self, bucket: Optional[int]) -> str:
+        """Resolve attn_impl="auto" per dispatch (see EngineConfig)."""
+        if self.attn_impl != "auto":
+            return self.attn_impl
+        return "dense"
+
     def _dispatch_frame(self, gate):
         """Issue one decode dispatch; returns (device toks, slot snapshot)."""
         n = self.steps_per_sync
@@ -718,26 +728,28 @@ class OrpheusEngine:
             # custom stop set costs one extra compile; the common case (all
             # requests on defaults) reuses a single program.
             stop_ids = tuple(sorted(self._all_stop_ids()))
+            bucket = self._context_bucket(n)
             self.dstate, toks = _decode_multi(
                 self.params,
                 self.dstate,
                 self._split_key(),
                 gate,
                 cfg=self.cfg,
-                attn_impl=self.attn_impl,
+                attn_impl=self._attn_for(bucket),
                 n_steps=n,
                 stop_ids=stop_ids,
-                bucket=self._context_bucket(n),
+                bucket=bucket,
             )
         else:
+            bucket = self._context_bucket(1)
             self.dstate, toks = _decode(
                 self.params,
                 self.dstate,
                 self._split_key(),
                 gate,
                 cfg=self.cfg,
-                attn_impl=self.attn_impl,
-                bucket=self._context_bucket(1),
+                attn_impl=self._attn_for(bucket),
+                bucket=bucket,
             )
         return toks, dict(self._by_slot)
 

@@ -393,6 +393,75 @@ def _mlp(h, wl, cfg: LlamaConfig):
     return matmul_maybe_quant(act, wl["wd"])
 
 
+def _chunk_streaming_attn(
+    qg: jnp.ndarray,       # (S, KV, G, HD) chunk queries
+    k_s: jnp.ndarray,      # (KV, hist, HD) history keys (bf16 or int8)
+    v_s: jnp.ndarray,      # (KV, hist, HD)
+    ks_s,                  # (KV, hist) fp32 scales or None
+    vs_s,                  # (KV, hist) fp32 scales or None
+    positions: jnp.ndarray,  # (S,) absolute positions of the chunk queries
+    hist_bucket: int,
+    block_k: int = 256,
+) -> jnp.ndarray:
+    """Online-softmax cross-attention of a prompt chunk over its history.
+
+    A dense chunk attention materialises ``(KV, G, S, hist)`` fp32 scores
+    — 805 MB per layer at S=1024 / hist=8192 — and the masked-softmax
+    chain re-reads them several times: measured 2.3 s per int8 chunk at
+    hist 8192 on v5e (94 ms bf16 at 2048).  Streaming key blocks through
+    a flash accumulator keeps temporaries at block size, and an int8
+    history dequantises per block in registers instead of materialising a
+    bf16 copy of the cache.
+    """
+    S, KV, G, HD = qg.shape
+    block_k = min(block_k, hist_bucket)
+    nk = hist_bucket // block_k
+    assert nk * block_k == hist_bucket, "context buckets are 256-multiples"
+    quant = ks_s is not None
+    qf = qg.astype(jnp.float32) * (HD**-0.5)
+
+    k_blocks = jnp.moveaxis(k_s.reshape(KV, nk, block_k, HD), 1, 0)
+    v_blocks = jnp.moveaxis(v_s.reshape(KV, nk, block_k, HD), 1, 0)
+    kpos = jnp.arange(hist_bucket).reshape(nk, block_k)
+    xs = (k_blocks, v_blocks, kpos)
+    if quant:
+        xs += (
+            jnp.moveaxis(ks_s.reshape(KV, nk, block_k), 1, 0),
+            jnp.moveaxis(vs_s.reshape(KV, nk, block_k), 1, 0),
+        )
+
+    def step(carry, inp):
+        m, l, acc = carry
+        if quant:
+            kb, vb, kp, ksb, vsb = inp
+            kbf = kb.astype(jnp.float32) * ksb[..., None]
+            vbf = vb.astype(jnp.float32) * vsb[..., None]
+        else:
+            kb, vb, kp = inp
+            kbf = kb.astype(jnp.float32)
+            vbf = vb.astype(jnp.float32)
+        s = jnp.einsum(
+            "skgd,kbd->kgsb", qf, kbf, preferred_element_type=jnp.float32
+        )  # (KV, G, S, block_k)
+        valid = kp[None, None, None, :] <= positions[None, None, :, None]
+        s = jnp.where(valid, s, -1e30)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        p = jnp.exp(s - m_new[..., None])
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1)
+        acc_new = acc * alpha[..., None] + jnp.einsum(
+            "kgsb,kbd->kgsd", p, vbf, preferred_element_type=jnp.float32
+        )
+        return (m_new, l_new, acc_new), None
+
+    m0 = jnp.full((KV, G, S), -1e30, jnp.float32)
+    l0 = jnp.zeros((KV, G, S), jnp.float32)
+    acc0 = jnp.zeros((KV, G, S, HD), jnp.float32)
+    (m, l, acc), _ = lax.scan(step, (m0, l0, acc0), xs)
+    out = acc / jnp.maximum(l, 1e-30)[..., None]  # (KV, G, S, HD)
+    return jnp.moveaxis(out, 2, 0).reshape(S, KV * G * HD)
+
+
 def llama_prefill_chunk(
     params: Params,
     tokens: jnp.ndarray,   # (S,) int32 — one chunk of one slot's prompt
@@ -427,9 +496,6 @@ def llama_prefill_chunk(
     inv_freqs = rope_inv_freqs(cfg)
     positions = (offset + jnp.arange(S, dtype=jnp.int32))[None, :]  # (1, S)
     x = embed_lookup(params["embed"], tokens[None, :], dtype=params["ln_f"].dtype)
-
-    key_pos = jnp.arange(hist_bucket)  # (hist,)
-    qmask = key_pos[None, :] <= positions[0][:, None]  # (S, hist) causal+hist
 
     lp = params["layers"]
 
@@ -470,26 +536,18 @@ def llama_prefill_chunk(
         v_s = lax.dynamic_slice(
             c["v"], (i, slot, 0, 0, 0), (1, 1, KV, hist_bucket, HD)
         )[0, 0]
-        qg = q[0].reshape(S, KV, G, HD)
-        scores = jnp.einsum(
-            "skgd,khd->kgsh", qg, k_s.astype(qg.dtype),
-            preferred_element_type=jnp.float32,
-        ) * (HD**-0.5)
         if quant:
             ks_s = lax.dynamic_slice(
                 c["k_scale"], (i, slot, 0, 0), (1, 1, KV, hist_bucket)
             )[0, 0]
-            scores = scores * ks_s[:, None, None, :]
-        scores = jnp.where(qmask[None, None], scores, -1e30)
-        probs = jax.nn.softmax(scores, axis=-1)
-        if quant:
             vs_s = lax.dynamic_slice(
                 c["v_scale"], (i, slot, 0, 0), (1, 1, KV, hist_bucket)
             )[0, 0]
-            probs = probs * vs_s[:, None, None, :]
-        attn = jnp.einsum(
-            "kgsh,khd->skgd", probs.astype(x.dtype), v_s.astype(x.dtype),
-            preferred_element_type=jnp.float32,
+        else:
+            ks_s = vs_s = None
+        qg = q[0].reshape(S, KV, G, HD)
+        attn = _chunk_streaming_attn(
+            qg, k_s, v_s, ks_s, vs_s, positions[0], hist_bucket
         ).reshape(1, S, cfg.num_heads * HD).astype(x.dtype)
         x = x + matmul_maybe_quant(attn, wl["wo"])
         h = rmsnorm(x, wl["ln2"], cfg.rms_eps)
@@ -594,8 +652,6 @@ def llama_decode_step(
                 )
 
         if attn_impl == "pallas":
-            if quant:
-                raise NotImplementedError("pallas decode path is bf16-cache only")
             from ..ops.decode_attention import decode_attention_layered
 
             attn = decode_attention_layered(
@@ -604,6 +660,8 @@ def llama_decode_step(
                 c["v"],
                 lengths + 1,
                 i,
+                k_scale=c["k_scale"] if quant else None,
+                v_scale=c["v_scale"] if quant else None,
                 interpret=jax.default_backend() != "tpu",
             ).reshape(B, 1, cfg.num_heads * HD).astype(x.dtype)
         else:
@@ -614,27 +672,65 @@ def llama_decode_step(
                 c["v"], (i, 0, 0, 0, 0), (1, B, KV, bkt, HD)
             )[0]
             qg = q.reshape(B, KV, G, HD)
-            scores = jnp.einsum(
-                "bkgd,bksd->bkgs", qg, k_s.astype(qg.dtype),
-                preferred_element_type=jnp.float32,
-            ) * (HD**-0.5)
             if quant:
-                # int8 payload rides HBM; dequant happens here, per position
+                # int8 MXU path: the cache streams from HBM AS int8 (an
+                # `astype` before the dot materialises a bf16 copy — 2.5x
+                # the traffic, measured 32 ms vs 9.4 ms bf16 at bucket
+                # 2048).  Queries quantize per row (B,KV,G); scores come
+                # out int32 and rescale by q-scale x per-position k-scale.
                 ks_s = lax.dynamic_slice(
                     c["k_scale"], (i, 0, 0, 0), (1, B, KV, bkt)
                 )[0]
-                scores = scores * ks_s[:, :, None, :]
-            scores = jnp.where(key_mask[:, None, None, :], scores, -1e30)
-            probs = jax.nn.softmax(scores, axis=-1)
-            if quant:
                 vs_s = lax.dynamic_slice(
                     c["v_scale"], (i, 0, 0, 0), (1, B, KV, bkt)
                 )[0]
-                probs = probs * vs_s[:, :, None, :]
-            attn = jnp.einsum(
-                "bkgs,bksd->bkgd", probs.astype(x.dtype), v_s.astype(x.dtype),
-                preferred_element_type=jnp.float32,
-            ).reshape(B, 1, cfg.num_heads * HD).astype(x.dtype)
+                qsc = jnp.maximum(
+                    jnp.max(jnp.abs(qg.astype(jnp.float32)), axis=-1), 1e-8
+                ) / 127.0  # (B, KV, G)
+                q8 = jnp.clip(
+                    jnp.round(qg.astype(jnp.float32) / qsc[..., None]),
+                    -127, 127,
+                ).astype(jnp.int8)
+                s32 = jnp.einsum(
+                    "bkgd,bksd->bkgs", q8, k_s,
+                    preferred_element_type=jnp.int32,
+                )
+                scores = (
+                    s32.astype(jnp.float32)
+                    * qsc[..., None]
+                    * ks_s[:, :, None, :]
+                    * (HD**-0.5)
+                )
+                scores = jnp.where(key_mask[:, None, None, :], scores, -1e30)
+                probs = jax.nn.softmax(scores, axis=-1)
+                # fold the per-position v-scale into the probs (tiny
+                # (B,KV,G,bkt) tensor), re-quantize per row, and keep the
+                # PV dot in int8 as well
+                pv = probs * vs_s[:, :, None, :]
+                psc = jnp.maximum(jnp.max(pv, axis=-1), 1e-30) / 127.0
+                p8 = jnp.clip(
+                    jnp.round(pv / psc[..., None]), -127, 127
+                ).astype(jnp.int8)
+                o32 = jnp.einsum(
+                    "bkgs,bksd->bkgd", p8, v_s,
+                    preferred_element_type=jnp.int32,
+                )
+                attn = (
+                    (o32.astype(jnp.float32) * psc[..., None])
+                    .reshape(B, 1, cfg.num_heads * HD)
+                    .astype(x.dtype)
+                )
+            else:
+                scores = jnp.einsum(
+                    "bkgd,bksd->bkgs", qg, k_s.astype(qg.dtype),
+                    preferred_element_type=jnp.float32,
+                ) * (HD**-0.5)
+                scores = jnp.where(key_mask[:, None, None, :], scores, -1e30)
+                probs = jax.nn.softmax(scores, axis=-1)
+                attn = jnp.einsum(
+                    "bkgs,bksd->bkgd", probs.astype(x.dtype), v_s.astype(x.dtype),
+                    preferred_element_type=jnp.float32,
+                ).reshape(B, 1, cfg.num_heads * HD).astype(x.dtype)
         x = x + matmul_maybe_quant(attn, wl["wo"])
         h = rmsnorm(x, wl["ln2"], cfg.rms_eps)
         x = x + _mlp(h, wl, cfg)

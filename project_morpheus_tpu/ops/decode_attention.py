@@ -142,18 +142,27 @@ def _decode_attn_kernel_layered(
     q_ref,           # VMEM (1, H, HD)
     k_hbm,           # ANY  (L, B, KV, S, HD)
     v_hbm,           # ANY  (L, B, KV, S, HD)
-    o_ref,           # VMEM (1, H, HD)
-    k_buf,           # VMEM scratch (2, block_s, HD)
-    v_buf,
-    sem,             # DMA sems (2, 2)
-    *,
+    *rest,           # [ksc_hbm, vsc_hbm (L, B, KV, 1, S)] + o_ref + scratch
     block_s: int,
     scale: float,
     num_kv: int,
+    quant: bool,
 ):
     """Same flash-decode loop as ``_decode_attn_kernel`` but the cache keeps
     its stacked layer axis and the layer index arrives as a prefetch scalar —
-    so a layer loop carrying the full cache never slices it in HBM."""
+    so a layer loop carrying the full cache never slices it in HBM.
+
+    ``quant=True`` streams an int8 cache: payloads DMA as int8 (HALF the
+    HBM traffic of bf16 — the entire point of the int8 KV cache, which a
+    dense XLA path forfeits by materialising a bf16 dequant copy) and the
+    per-position fp32 scales ride alongside; dequant happens in VMEM
+    registers — scores scale by k_scale, probs by v_scale.
+    """
+    if quant:
+        (ksc_hbm, vsc_hbm, o_ref, k_buf, v_buf,
+         ksc_buf, vsc_buf, sem) = rest
+    else:
+        o_ref, k_buf, v_buf, sem = rest
     b = pl.program_id(0)
     li = layer_ref[0]
     length = lengths_ref[b]
@@ -175,11 +184,38 @@ def _decode_attn_kernel_layered(
             sem.at[slot, 1],
         )
 
+    def ksc_dma(slot, h, blk):
+        return pltpu.make_async_copy(
+            ksc_hbm.at[li, b, h, :, pl.ds(blk * block_s, block_s)],
+            ksc_buf.at[slot],
+            sem.at[slot, 2],
+        )
+
+    def vsc_dma(slot, h, blk):
+        return pltpu.make_async_copy(
+            vsc_hbm.at[li, b, h, :, pl.ds(blk * block_s, block_s)],
+            vsc_buf.at[slot],
+            sem.at[slot, 3],
+        )
+
+    def start_all(slot, h, blk):
+        k_dma(slot, h, blk).start()
+        v_dma(slot, h, blk).start()
+        if quant:
+            ksc_dma(slot, h, blk).start()
+            vsc_dma(slot, h, blk).start()
+
+    def wait_all(slot, h, blk):
+        k_dma(slot, h, blk).wait()
+        v_dma(slot, h, blk).wait()
+        if quant:
+            ksc_dma(slot, h, blk).wait()
+            vsc_dma(slot, h, blk).wait()
+
     for h in range(num_kv):
         @pl.when(n_blocks > 0)
         def _():
-            k_dma(0, h, 0).start()
-            v_dma(0, h, 0).start()
+            start_all(0, h, 0)
 
         q = q_ref[0, h * G : (h + 1) * G, :].astype(jnp.float32) * scale
 
@@ -189,11 +225,9 @@ def _decode_attn_kernel_layered(
 
             @pl.when(blk + 1 < n_blocks)
             def _():
-                k_dma((blk + 1) % 2, h, blk + 1).start()
-                v_dma((blk + 1) % 2, h, blk + 1).start()
+                start_all((blk + 1) % 2, h, blk + 1)
 
-            k_dma(slot, h, blk).wait()
-            v_dma(slot, h, blk).wait()
+            wait_all(slot, h, blk)
 
             k = k_buf[slot].astype(jnp.float32)
             v = v_buf[slot].astype(jnp.float32)
@@ -201,12 +235,16 @@ def _decode_attn_kernel_layered(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            if quant:
+                s = s * ksc_buf[slot]  # (G, block_s) * (1, block_s)
             pos = blk * block_s + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(pos < length, s, -1e30)
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
             p = jnp.exp(s - m_new)
             alpha = jnp.exp(m - m_new)
             l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            if quant:
+                p = p * vsc_buf[slot]
             acc_new = acc * alpha + jax.lax.dot_general(
                 p, v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -224,51 +262,84 @@ def _decode_attn_kernel_layered(
 
 def decode_attention_layered(
     q: jnp.ndarray,        # (B, H, HD)
-    k_cache: jnp.ndarray,  # (L, B, KV, S, HD)
+    k_cache: jnp.ndarray,  # (L, B, KV, S, HD) bf16 or int8
     v_cache: jnp.ndarray,  # (L, B, KV, S, HD)
     lengths: jnp.ndarray,  # (B,)
     layer: jnp.ndarray,    # () int32 — which layer slice to attend over
     *,
+    k_scale: Optional[jnp.ndarray] = None,  # (L, B, KV, S) fp32 (int8 cache)
+    v_scale: Optional[jnp.ndarray] = None,
     block_s: int = 256,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Flash decode attention reading one layer of the stacked cache."""
+    """Flash decode attention reading one layer of the stacked cache.
+
+    HBM traffic scales with each slot's LIVE length (a 512-token stream
+    co-batched with an 8k stream reads 512 positions, not the 8k bucket)
+    and an int8 cache streams as int8 — per-position scales are applied
+    in-kernel, never materialising a dequantised copy.
+    """
     B, H, HD = q.shape
     KV, S = k_cache.shape[2], k_cache.shape[3]
     scale = HD**-0.5
+    quant = k_scale is not None
     block_s = min(block_s, S)
     if S % block_s != 0 or interpret:
         kl = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, keepdims=False)
         vl = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, keepdims=False)
+        if quant:
+            ksl = jax.lax.dynamic_index_in_dim(k_scale, layer, 0, keepdims=False)
+            vsl = jax.lax.dynamic_index_in_dim(v_scale, layer, 0, keepdims=False)
+            kl = kl.astype(jnp.float32) * ksl[..., None]
+            vl = vl.astype(jnp.float32) * vsl[..., None]
         return decode_attention_reference(q, kl, vl, lengths)
+
+    operands = [jnp.asarray(layer, jnp.int32)[None], lengths, q, k_cache, v_cache]
+    in_specs = [
+        pl.BlockSpec(
+            (1, H, HD), lambda b, li, lens: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    scratch = [
+        pltpu.VMEM((2, block_s, HD), k_cache.dtype),
+        pltpu.VMEM((2, block_s, HD), v_cache.dtype),
+    ]
+    if quant:
+        # scales get a singleton sublane axis so DMA slices stay 2-D
+        operands += [
+            k_scale.reshape(*k_scale.shape[:3], 1, S),
+            v_scale.reshape(*v_scale.shape[:3], 1, S),
+        ]
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ]
+        scratch += [
+            pltpu.VMEM((2, 1, block_s), jnp.float32),
+            pltpu.VMEM((2, 1, block_s), jnp.float32),
+        ]
+    scratch.append(pltpu.SemaphoreType.DMA((2, 4 if quant else 2)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, H, HD), lambda b, li, lens: (b, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, H, HD), lambda b, li, lens: (b, 0, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[
-            pltpu.VMEM((2, block_s, HD), k_cache.dtype),
-            pltpu.VMEM((2, block_s, HD), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        scratch_shapes=scratch,
     )
     kernel = functools.partial(
-        _decode_attn_kernel_layered, block_s=block_s, scale=scale, num_kv=KV
+        _decode_attn_kernel_layered, block_s=block_s, scale=scale, num_kv=KV,
+        quant=quant,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, HD), q.dtype),
-    )(jnp.asarray(layer, jnp.int32)[None], lengths, q, k_cache, v_cache)
+    )(*operands)
 
 
 @functools.partial(jax.jit, static_argnames=("block_s", "interpret"))

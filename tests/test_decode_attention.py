@@ -59,3 +59,79 @@ def test_gqa_grouping_is_per_kv_head():
     ref = decode_attention_reference(q, k, v, lengths)
     got = decode_attention(q, k, v, lengths, block_s=64, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_layered_int8_fallback_matches_dequant_reference():
+    """int8-cache layered path (CPU fallback): per-position scale dequant
+    must equal attention over the explicitly dequantised cache."""
+    from project_morpheus_tpu.ops.decode_attention import (
+        decode_attention_layered,
+    )
+
+    rng = np.random.default_rng(0)
+    L, B, KV, S, HD, G = 2, 2, 2, 256, 128, 3
+    H = KV * G
+    q = jnp.asarray(rng.normal(size=(B, H, HD)), jnp.float32)
+    kf = rng.normal(size=(L, B, KV, S, HD)).astype(np.float32)
+    vf = rng.normal(size=(L, B, KV, S, HD)).astype(np.float32)
+    ks = np.max(np.abs(kf), axis=-1) / 127.0 + 1e-8
+    vs = np.max(np.abs(vf), axis=-1) / 127.0 + 1e-8
+    k8 = np.clip(np.round(kf / ks[..., None]), -127, 127).astype(np.int8)
+    v8 = np.clip(np.round(vf / vs[..., None]), -127, 127).astype(np.int8)
+    lengths = jnp.asarray([100, 256], jnp.int32)
+    layer = jnp.asarray(1, jnp.int32)
+
+    got = decode_attention_layered(
+        q, jnp.asarray(k8), jnp.asarray(v8), lengths, layer,
+        k_scale=jnp.asarray(ks), v_scale=jnp.asarray(vs),
+        interpret=True,
+    )
+    want = decode_attention_reference(
+        q,
+        jnp.asarray(k8[1].astype(np.float32) * ks[1][..., None]),
+        jnp.asarray(v8[1].astype(np.float32) * vs[1][..., None]),
+        lengths,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_decode_step_pallas_int8_matches_dense():
+    """llama_decode_step with attn_impl=pallas on an int8 cache (CPU
+    fallback path) must agree with the dense int8 path."""
+    from project_morpheus_tpu.model import LlamaConfig, init_llama_params
+    from project_morpheus_tpu.model.llama import init_kv_cache, llama_decode_step
+
+    cfg = LlamaConfig.tiny_vocab()
+    params = init_llama_params(cfg, jax.random.key(0), dtype=jnp.float32)
+    B, S = 2, 64
+    lengths = jnp.asarray([5, 9], jnp.int32)
+    cache = init_kv_cache(cfg, B, S, jnp.int8)
+    # seed the cache with a short prefix via the dense step itself
+    toks = jnp.asarray([3, 8], jnp.int32)
+    logits_d, cache_d = llama_decode_step(
+        params, toks, cfg, cache, lengths, attn_impl="dense"
+    )
+    logits_p, cache_p = llama_decode_step(
+        params, toks, cfg, cache, lengths, attn_impl="pallas"
+    )
+    # dense int8 quantizes q and the folded probs for int8 MXU dots; the
+    # pallas fallback dequantises exactly — differences are bounded by the
+    # extra ~0.8% quantisation error
+    np.testing.assert_allclose(
+        np.asarray(logits_p), np.asarray(logits_d), rtol=5e-2, atol=5e-2
+    )
+    # layer>0 K/V depend on the attention output, so ULP-level drift
+    # between implementations is expected; payloads may differ by 1 LSB
+    for key in ("k", "v"):
+        diff = np.abs(
+            np.asarray(cache_d[key], np.int32)
+            - np.asarray(cache_p[key], np.int32)
+        )
+        assert diff.max() <= 2
+    for key in ("k_scale", "v_scale"):
+        np.testing.assert_allclose(
+            np.asarray(cache_d[key]), np.asarray(cache_p[key]),
+            rtol=5e-2, atol=1e-9,
+        )
