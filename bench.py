@@ -226,8 +226,58 @@ def main() -> None:
         await engine.close()
         return out_rows, cad
 
+    async def bench_http(engine):
+        """One request through the real HTTP server (aiohttp, same engine):
+        wall TTFB of the first PCM chunk after the WAV header."""
+        from aiohttp import ClientSession
+        from aiohttp.web import AppRunner, TCPSite
+
+        from project_morpheus_tpu.adapters.runtime import get_runtime
+        from project_morpheus_tpu.server.app import create_app
+
+        runtime = get_runtime()
+        runtime.engine = engine
+        runtime.snac_params = snac_params
+        runtime.snac_cfg = snac_cfg
+        runtime.model_cfg = cfg
+        app = create_app()
+        # bound the utterance so the row measures TTFB, not a full read
+        app["state"].generation["max_tokens"] = 70
+        runner = AppRunner(app)
+        await runner.setup()
+        site = TCPSite(runner, "127.0.0.1", 0)
+        await site.start()
+        port = site._server.sockets[0].getsockname()[1]
+        try:
+            async with ClientSession() as sess:
+                t0 = time.perf_counter()
+                ttfb = None
+                nbytes = 0
+                async with sess.post(
+                    f"http://127.0.0.1:{port}/v1/audio/speech",
+                    json={"input": "hello from the measured benchmark"},
+                ) as resp:
+                    async for chunk in resp.content.iter_chunked(4096):
+                        nbytes += len(chunk)
+                        if ttfb is None and nbytes > 44:  # past the header
+                            ttfb = time.perf_counter() - t0
+                return {
+                    "http_ttfb_pcm_ms": round((ttfb or 0) * 1000, 1),
+                    "http_wav_bytes": nbytes,
+                }
+        finally:
+            await runner.cleanup()
+            runtime.engine = None  # detach before the engine is closed
+
+    async def run_bf16(engine):
+        # one event loop for the engine's whole life (its wakeup Event
+        # binds to the first loop that awaits it)
+        http = await bench_http(engine)
+        rows, cad = await bench_engine(engine, bf16_rows_spec)
+        return http, rows, cad
+
     engine = build_engine("bfloat16", bf16_max_seq)
-    bf16_rows, _ = asyncio.run(bench_engine(engine, bf16_rows_spec))
+    http_row, bf16_rows, _ = asyncio.run(run_bf16(engine))
     del engine
 
     int8_rows, cadence = None, None
@@ -259,6 +309,7 @@ def main() -> None:
             if on_tpu else None
         ),
         "cadence_under_8k_admission": cadence,
+        "http_server": http_row,
         "slots": n_streams,
     }
     print(json.dumps(result))
