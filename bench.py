@@ -13,6 +13,10 @@ Measured per context row (ctx 512 / 2048 / 8000, batch 8):
 - ``rtf``: PCM seconds actually delivered / wall-clock for the batch.
 - ``hop_gap_ms`` median: steady-state frame cadence seen by a consumer.
 
+Plus the reference-comparable headline: a SINGLE short-prompt request on an
+idle warm engine (the shape of the reference's ~200 ms TTFA claim,
+Orpheus-TTS/README.md:21 — one stream, a sentence-length prompt).
+
 Plus:
 - frame cadence while an 8k prompt admits mid-stream (chunked prefill
   interleaves one chunk per frame): p95 hop gap during admission vs steady.
@@ -269,15 +273,36 @@ def main() -> None:
             await runner.cleanup()
             runtime.engine = None  # detach before the engine is closed
 
+    async def bench_single(engine, reps=5):
+        """Reference-comparable TTFA: ONE short-prompt stream, warm engine."""
+        sp = SamplingParams(
+            temperature=0.6, top_p=0.9, repetition_penalty=1.1,
+            max_tokens=56, stop_token_ids=(),
+        )
+        ttfas = []
+        for i in range(reps):
+            out = await _drive_stream(engine, _prompt(48, 500 + i), sp)
+            if out["times"]:
+                ttfas.append((out["times"][0] - out["t0"]) * 1000.0)
+        return {
+            "prompt_tokens": 48,
+            "single_ttfa_ms_p50": round(_pct(ttfas, 0.5), 1) if ttfas else None,
+            "single_ttfa_ms_min": round(min(ttfas), 1) if ttfas else None,
+        }
+
     async def run_bf16(engine):
         # one event loop for the engine's whole life (its wakeup Event
         # binds to the first loop that awaits it)
+        await bench_single(engine, reps=1)   # warm the short-prompt programs
+        single = await bench_single(engine)
+        # warm the server path before measuring TTFB (compiles are not TTFB)
+        http = await bench_http(engine)
         http = await bench_http(engine)
         rows, cad = await bench_engine(engine, bf16_rows_spec)
-        return http, rows, cad
+        return single, http, rows, cad
 
     engine = build_engine("bfloat16", bf16_max_seq)
-    http_row, bf16_rows, _ = asyncio.run(run_bf16(engine))
+    single_row, http_row, bf16_rows, _ = asyncio.run(run_bf16(engine))
     del engine
 
     int8_rows, cadence = None, None
@@ -301,6 +326,7 @@ def main() -> None:
         "measured": True,  # wall-clock through the live engine, not derived
         "measured_ttfa_ms_p50": bf16_rows[0]["ttfa_ms_p50"],
         "measured_ttfa_ms_p95": bf16_rows[0]["ttfa_ms_p95"],
+        "single_stream_short_prompt": single_row,
         "rows_bf16_kv": bf16_rows,
         "rows_int8_kv": int8_rows,
         "bf16_kv_8k_note": (

@@ -158,8 +158,7 @@ def _ctx_conv_transpose(
 # ---------------------------------------------------------------- the kernel
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
-def snac_stream_step(
+def snac_stream_body(
     params,
     window_tokens: jnp.ndarray,  # (B, WINDOW_FRAMES * 7) int32 code entries
     state: State,
@@ -167,7 +166,7 @@ def snac_stream_step(
     *,
     cfg: SNACConfig,
 ) -> Tuple[jnp.ndarray, State]:
-    """One streaming hop for a batch of lanes.
+    """One streaming hop for a batch of lanes (trace-level body).
 
     Returns int16 PCM ``(B, WINDOW_FRAMES * frame_samples)`` — the FULL
     window's samples — and the advanced state.  Steady-state callers keep
@@ -177,6 +176,12 @@ def snac_stream_step(
     Lanes with ``commit=False`` keep their state untouched (their output
     is still computed against the current state — used for head/flush
     emissions that must not advance the frontier).
+
+    Exposed un-jitted so the serving engine can FUSE the hop into its
+    decode-frame program (one dispatch + one readback per frame — the
+    axon/TPU tunnel charges ~25-40 ms per host-blocking readback, so the
+    fused program is what makes streaming serve at speed); standalone
+    callers use the jitted :func:`snac_stream_step` wrapper below.
     """
     ns: State = {}
     dec = params["decoder"]
@@ -240,6 +245,11 @@ def snac_stream_step(
     )
     x = jnp.tanh(x)[..., 0]  # (B, window samples)
     return (x * 32767.0).astype(jnp.int16), ns
+
+
+snac_stream_step = functools.partial(
+    jax.jit, static_argnames=("cfg",), donate_argnums=(2,)
+)(snac_stream_body)
 
 
 # ------------------------------------------------------------- host planner

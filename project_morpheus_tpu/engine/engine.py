@@ -10,6 +10,11 @@ Architecture (the TPU-idiomatic replacement for reference L1, SURVEY.md §7.4):
   a free slot (one compile per bucket length, no dynamic shapes).
 - **Decode** = one jitted step advancing *all* active slots together and
   sampling per-slot (temperature / top-p / repetition penalty).
+- **Fused audio frames**: with a codec attached, the frame program also
+  pushes sampled codes into an on-device per-slot ring and runs the
+  batched streaming SNAC hop inside the same dispatch, so one readback
+  per iteration carries the tokens AND the emitted PCM of up to
+  ``frames_per_dispatch`` codec frames (DECISIONS r3-007/r3-008).
 - **Eviction** (stop token, max_tokens, cancel/barge-in) clears the slot
   flags; co-batched requests are untouched — this is the KV analogue of
   the reference's generator-drop reset (llama_local.py:152-157).
@@ -30,6 +35,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..codec.stream_decode import (
+    EMIT_SLOT,
+    WINDOW_FRAMES,
+    snac_stream_body,
+)
 from ..model.config import LlamaConfig, ORPHEUS_SPECIAL_TOKENS
 from ..model.llama import (
     init_kv_cache,
@@ -39,6 +49,10 @@ from ..model.llama import (
 )
 from ..model.sampling import SamplingParams, sample_logits
 from .request import Request, RequestState
+
+_AUDIO_BASE = ORPHEUS_SPECIAL_TOKENS["audio_base"]
+_CODEBOOK = 4096
+_FRAME_TOKENS = 7
 
 logger = logging.getLogger(__name__)
 
@@ -67,7 +81,20 @@ class EngineConfig:
     attn_impl: str = "auto"
     pallas_min_bucket: int = 2048  # used only when attn auto-selects pallas
     steps_per_sync: int = 0  # 0/auto -> 7 on TPU (one SNAC frame), 1 elsewhere
-    pipeline_depth: int = 1  # frames in flight beyond the one being processed
+    # Max codec frames decoded per fused audio dispatch (0/auto -> 4 on
+    # TPU, 1 elsewhere).  The tunnel's ~26 ms per-readback tax is paid
+    # once per dispatch, so batching k frames lifts steady-state RTF
+    # (measured 46 ms device/frame: k=1 -> ~8x, k=4 -> ~12x at ctx 512);
+    # the engine drops back to 1 frame/dispatch whenever any live audio
+    # stream is still waiting for its first hop, keeping TTFA unchanged.
+    frames_per_dispatch: int = 0
+    # Frames in flight beyond the one being processed.  0 (default): the
+    # loop reads each frame's results before dispatching the next — on the
+    # axon tunnel readbacks serialise behind queued programs, so depth 1
+    # made every iteration wait TWO frame-times (measured 101 vs 87 ms per
+    # iteration at ctx 512).  The fused audio program (_decode_audio_multi)
+    # plus depth 0 costs exactly one frame + one readback per iteration.
+    pipeline_depth: int = 0
     # Backpressure: a slot whose consumer queue is this deep is gated out of
     # decode dispatches (its KV slot is kept; generation resumes when the
     # consumer drains).  A stalled client therefore buffers at most
@@ -96,7 +123,29 @@ def _bucket_for(n: int, buckets: Sequence[int]) -> int:
 # ----------------------------------------------------------- jitted kernels
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def _ring_seed(dstate, slot, tok, is_audio, lenient: bool):
+    """Push the prefill's first sampled token into the device code ring
+    (audio lanes only): the fused frame program must see every code the
+    host routes, and the first token is sampled by the prefill program,
+    not by a frame dispatch."""
+    if "ring" not in dstate:
+        return dstate
+    valid, code = _audio_code(tok[None], dstate["audio_pos"][slot][None],
+                              lenient)
+    valid = valid[0] & is_audio
+    code = code[0]
+    inc = valid.astype(jnp.int32)
+    dstate["partial"] = dstate["partial"].at[slot, 0].set(
+        jnp.where(valid, code, dstate["partial"][slot, 0])
+    )
+    dstate["pcnt"] = dstate["pcnt"].at[slot].add(inc)
+    dstate["audio_pos"] = dstate["audio_pos"].at[slot].add(inc)
+    return dstate
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "lenient"), donate_argnums=(1,)
+)
 def _prefill(
     params,
     dstate,
@@ -105,8 +154,10 @@ def _prefill(
     slot: jnp.ndarray,        # () target slot
     samp: jnp.ndarray,        # (3,) temperature, top_p, repetition_penalty
     key: jax.Array,
+    is_audio: jnp.ndarray = False,  # () bool — audio-mode request
     *,
     cfg: LlamaConfig,
+    lenient: bool = False,
 ):
     """Write one prompt into ``slot`` and sample the first token."""
     S = tokens.shape[1]
@@ -148,12 +199,13 @@ def _prefill(
     dstate["temp"] = dstate["temp"].at[slot].set(samp[0])
     dstate["top_p"] = dstate["top_p"].at[slot].set(samp[1])
     dstate["rep_pen"] = dstate["rep_pen"].at[slot].set(samp[2])
+    dstate = _ring_seed(dstate, slot, first, is_audio, lenient)
     return dstate, first
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "hist_bucket", "sample"),
+    static_argnames=("cfg", "hist_bucket", "sample", "lenient"),
     donate_argnums=(1,),
 )
 def _prefill_chunk(
@@ -165,10 +217,12 @@ def _prefill_chunk(
     slot: jnp.ndarray,        # () target slot
     samp: jnp.ndarray,        # (3,) temperature, top_p, repetition_penalty
     key: jax.Array,
+    is_audio: jnp.ndarray = False,  # () bool — audio-mode request
     *,
     cfg: LlamaConfig,
     hist_bucket: int,
     sample: bool,
+    lenient: bool = False,
 ):
     """Write one prompt chunk; on the final chunk, sample the first token."""
     S = tokens.shape[0]
@@ -212,6 +266,7 @@ def _prefill_chunk(
     dstate["temp"] = dstate["temp"].at[slot].set(samp[0])
     dstate["top_p"] = dstate["top_p"].at[slot].set(samp[1])
     dstate["rep_pen"] = dstate["rep_pen"].at[slot].set(samp[2])
+    dstate = _ring_seed(dstate, slot, first, is_audio, lenient)
     return dstate, first
 
 
@@ -311,6 +366,153 @@ def _decode_multi(
     return dstate, toks  # toks (n_steps, B)
 
 
+def _audio_code(toks, audio_pos, lenient: bool):
+    """(valid, code) for one step's sampled tokens (B,) — device-side
+    mirror of adapters.runtime.{audio_code_from_token_id,lenient_audio_code}."""
+    off = toks - _AUDIO_BASE
+    if lenient:
+        valid = (off >= 0) & (off < _FRAME_TOKENS * _CODEBOOK)
+        code = off % _CODEBOOK
+    else:
+        code = off - (audio_pos % _FRAME_TOKENS) * _CODEBOOK
+        valid = (code >= 0) & (code < _CODEBOOK)
+    valid = valid & (toks >= 0)
+    return valid, jnp.where(valid, code, 0)
+
+
+def _ring_push(dstate, toks, lenient: bool):
+    """Append one step's sampled codes to the per-slot device code ring.
+
+    Ring layout: ``ring`` (B, 28) holds the last WINDOW_FRAMES completed
+    frames (newest last); ``partial``/``pcnt`` the in-progress frame;
+    ``fcnt`` completed-frame count; ``audio_pos`` the running audio-token
+    index (for strict per-position banding); ``frame_done`` whether any
+    frame completed during the current dispatch.  A dispatch delivers at
+    most 7 new codes per slot, so at most ONE frame completes per slot
+    per dispatch (6 leftover + 7 new = 13 < 14).
+    """
+    valid, code = _audio_code(toks, dstate["audio_pos"], lenient)
+    pcnt = dstate["pcnt"]
+    sel = jnp.arange(_FRAME_TOKENS)[None, :] == pcnt[:, None]
+    partial = jnp.where(valid[:, None] & sel, code[:, None], dstate["partial"])
+    pcnt2 = pcnt + valid.astype(jnp.int32)
+    done = pcnt2 >= _FRAME_TOKENS
+    dstate["ring"] = jnp.where(
+        done[:, None],
+        jnp.concatenate([dstate["ring"][:, _FRAME_TOKENS:], partial], axis=1),
+        dstate["ring"],
+    )
+    dstate["partial"] = jnp.where(done[:, None], 0, partial)
+    dstate["pcnt"] = jnp.where(done, 0, pcnt2)
+    dstate["fcnt"] = dstate["fcnt"] + done.astype(jnp.int32)
+    dstate["audio_pos"] = dstate["audio_pos"] + valid.astype(jnp.int32)
+    dstate["frame_done"] = dstate["frame_done"] | done
+    return dstate
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "snac_cfg", "attn_impl", "n_steps", "stop_ids", "bucket",
+        "lenient", "n_frames",
+    ),
+    donate_argnums=(1, 3),
+)
+def _decode_audio_multi(
+    params,
+    dstate,
+    snac_params,
+    snac_state,
+    key,
+    gate=None,
+    *,
+    cfg: LlamaConfig,
+    snac_cfg,
+    attn_impl: str,
+    n_steps: int,
+    stop_ids: Tuple[int, ...],
+    bucket: Optional[int] = None,
+    lenient: bool = False,
+    n_frames: int = 1,
+):
+    """FUSED frame program: decode + sample + code ring + SNAC hops.
+
+    Runs ``n_frames`` frame phases; each phase advances all slots by up
+    to ``n_steps`` tokens, pushes each step's audio codes into the
+    on-device ring, and — for every lane that completed a codec frame —
+    runs ONE batched streaming SNAC hop.  Tokens and the emitted PCM of
+    every phase come back together:
+
+        (dstate, snac_state, toks (n_frames * n_steps, B),
+         pcm (n_frames, B, frame_samples) int16, emit (n_frames, B) bool)
+
+    Head lanes (first completed frame) decode the replicated window
+    ``[f0 f0 f0 f0]`` with ``commit=False`` and emit window slot 0;
+    steady lanes (>= WINDOW_FRAMES frames) decode the true last-4-frame
+    window with ``commit=True`` and emit slot ``EMIT_SLOT`` — exactly the
+    host ``StreamPlanner`` schedule, computed on device so one dispatch
+    and ONE readback carry whole frames' tokens AND audio.  (The axon
+    tunnel charges ~25-40 ms per host-blocking readback — measured
+    device time 46 ms/frame vs 72 ms dispatch+readback — so host-side
+    window assembly, which needs the tokens back first, put two to three
+    of those latencies in every frame; fusing removes all but one, and
+    ``n_frames > 1`` amortises the last one across frames.)
+
+    Reference counterpart: tokens_decoder's incremental 7-token framing
+    (Morpheus_Client/tts_engine/speechpipe.py:191-260) fused with the
+    decode loop it feeds from (llama_local.py:62-87).
+    """
+    if gate is None:
+        gate = jnp.ones(dstate["active"].shape, jnp.bool_)
+
+    def body(dstate, k):
+        dstate, toks = _decode_core(params, dstate, k, gate, cfg, attn_impl,
+                                    bucket)
+        is_stop = jnp.zeros(toks.shape, bool)
+        for s in stop_ids:
+            is_stop = is_stop | (toks == s)
+        dstate["active"] = dstate["active"] & ~is_stop
+        dstate = _ring_push(dstate, toks, lenient)
+        return dstate, toks
+
+    B = dstate["active"].shape[0]
+    fs = snac_cfg.frame_samples
+
+    def frame_phase(carry, keys7):
+        dstate, snac_state = carry
+        dstate = dict(dstate)
+        dstate["frame_done"] = jnp.zeros_like(dstate["frame_done"])
+        dstate, toks = jax.lax.scan(body, dstate, keys7)
+
+        done = dstate["frame_done"]
+        fcnt = dstate["fcnt"]
+        head = done & (fcnt == 1)
+        steady = done & (fcnt >= WINDOW_FRAMES)
+        newest = dstate["ring"][:, -_FRAME_TOKENS:]
+        window = jnp.where(
+            head[:, None],
+            jnp.tile(newest, (1, WINDOW_FRAMES)),
+            dstate["ring"],
+        )
+        pcm_win, snac_state = snac_stream_body(
+            snac_params, window, snac_state, steady, cfg=snac_cfg
+        )
+        ws = jnp.where(head, 0, EMIT_SLOT)
+        pcm = pcm_win.reshape(B, WINDOW_FRAMES, fs)[jnp.arange(B), ws]
+        emit = head | steady
+        pcm = jnp.where(emit[:, None], pcm, 0)
+        return (dstate, snac_state), (toks, pcm, emit)
+
+    keys = jax.random.split(key, n_frames * n_steps).reshape(
+        n_frames, n_steps
+    )
+    (dstate, snac_state), (toks, pcm, emit) = jax.lax.scan(
+        frame_phase, (dstate, snac_state), keys
+    )
+    toks = toks.reshape(n_frames * n_steps, B)
+    return dstate, snac_state, toks, pcm, emit
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _release(dstate, slot_mask: jnp.ndarray):
     """Free slots (stop / cancel / barge-in); leaves other slots untouched."""
@@ -320,6 +522,14 @@ def _release(dstate, slot_mask: jnp.ndarray):
     dstate["presence"] = jnp.where(
         slot_mask[:, None], False, dstate["presence"]
     )
+    if "ring" in dstate:  # audio-fused engines: clear the codec ring too
+        for k in ("ring", "partial"):
+            dstate[k] = jnp.where(slot_mask[:, None], 0, dstate[k])
+        for k in ("pcnt", "fcnt", "audio_pos"):
+            dstate[k] = jnp.where(slot_mask, 0, dstate[k])
+        dstate["frame_done"] = jnp.where(
+            slot_mask, False, dstate["frame_done"]
+        )
     return dstate
 
 
@@ -368,6 +578,17 @@ class OrpheusEngine:
             "top_p": jnp.ones((B,), jnp.float32),
             "rep_pen": jnp.ones((B,), jnp.float32),
         }
+        if codec is not None:
+            # on-device codec ring for the fused frame program (_ring_push)
+            self.dstate.update({
+                "ring": jnp.zeros((B, WINDOW_FRAMES * _FRAME_TOKENS),
+                                  jnp.int32),
+                "partial": jnp.zeros((B, _FRAME_TOKENS), jnp.int32),
+                "pcnt": jnp.zeros((B,), jnp.int32),
+                "fcnt": jnp.zeros((B,), jnp.int32),
+                "audio_pos": jnp.zeros((B,), jnp.int32),
+                "frame_done": jnp.zeros((B,), jnp.bool_),
+            })
         if mesh is not None:
             from ..parallel.sharding import (
                 engine_state_shardings,
@@ -392,7 +613,9 @@ class OrpheusEngine:
             self.dstate = jax.device_put(
                 self.dstate,
                 engine_state_shardings(
-                    mesh, quantized_cache="k_scale" in self.dstate["cache"]
+                    mesh,
+                    quantized_cache="k_scale" in self.dstate["cache"],
+                    audio_ring="ring" in self.dstate,
                 ),
             )
         self._snac_state = None
@@ -400,11 +623,10 @@ class OrpheusEngine:
             from ..codec.stream_decode import init_stream_state
 
             self._snac_state = init_stream_state(codec[1], B)
-        # software-pipelined audio hops: SNAC dispatches from frame N are
-        # read back after frame N+1 is queued, so PCM transfer rides the
-        # shadow of the next frame instead of the serving loop's critical
-        # path.  Entries: ("pcm", device_pcm, [(slot, req, ws)]) in order,
-        # or ("eos", req) once a stream's final hop has been dispatched.
+        # end-of-stream flush hops (the only host-dispatched SNAC work —
+        # steady/head hops run inside the fused frame program): entries
+        # ("pcm", device_pcm, [(slot, req, ws)]) in dispatch order, or
+        # ("eos", req) once a stream's final hop has been dispatched.
         self._pending_audio: List[tuple] = []
         self._key = jax.random.key(seed)
         self.attn_impl = self.ecfg.attn_impl
@@ -412,6 +634,11 @@ class OrpheusEngine:
         self.steps_per_sync = self.ecfg.steps_per_sync
         if self.steps_per_sync <= 0:
             self.steps_per_sync = 7 if jax.default_backend() == "tpu" else 1
+        self.frames_per_dispatch = self.ecfg.frames_per_dispatch
+        if self.frames_per_dispatch <= 0:
+            self.frames_per_dispatch = (
+                4 if jax.default_backend() == "tpu" else 1
+            )
         self._free: List[int] = list(range(B))
         self._by_slot: Dict[int, Request] = {}
         # async admission: first tokens sampled by an in-flight prefill,
@@ -518,7 +745,12 @@ class OrpheusEngine:
         # a prompt may fill the context up to the generation-safety margin;
         # anything beyond keeps its most recent tokens (reference n_ctx
         # semantics: llama_local.py:45-46 — but no silent //2 truncation)
-        margin = self.steps_per_sync * (1 + max(self.ecfg.pipeline_depth, 0)) + 1
+        margin = (
+            self.steps_per_sync
+            * self.frames_per_dispatch
+            * (1 + max(self.ecfg.pipeline_depth, 0))
+            + 1
+        )
         max_prompt = self.ecfg.max_seq_len - margin - 2
         if len(ids) > max_prompt:
             logger.warning(
@@ -549,7 +781,9 @@ class OrpheusEngine:
                 jnp.asarray(slot, jnp.int32),
                 jnp.asarray(samp),
                 self._split_key(),
+                np.asarray(req.audio),
                 cfg=self.cfg,
+                lenient=self.ecfg.lenient_audio_codes,
             )
             # Do NOT force a readback here: the prefill is dispatched, the
             # slot is active on device, and the sampled first token is read
@@ -606,9 +840,11 @@ class OrpheusEngine:
                     slot_arr,
                     samp_arr,
                     self._split_key(),
+                    np.asarray(req.audio),
                     cfg=self.cfg,
                     hist_bucket=self._hist_bucket(offset + chunk),
                     sample=False,
+                    lenient=self.ecfg.lenient_audio_codes,
                 )
                 job["offset"] = offset + chunk
                 return
@@ -625,9 +861,11 @@ class OrpheusEngine:
                 slot_arr,
                 samp_arr,
                 self._split_key(),
+                np.asarray(req.audio),
                 cfg=self.cfg,
                 hist_bucket=self._hist_bucket(offset + bucket),
                 sample=True,
+                lenient=self.ecfg.lenient_audio_codes,
             )
             req.state = RequestState.DECODING
             self._pending_first.append((slot, req, first))
@@ -646,10 +884,16 @@ class OrpheusEngine:
         hit_stop = token in stop_ids
         # Evict with enough headroom that frames already dispatched (or about
         # to be, under pipelining) can't write past max_seq_len: up to
-        # steps_per_sync-1 tokens remain in the frame being processed plus
-        # steps_per_sync per pipelined frame in flight, plus one token for a
-        # first-token readback still pending under async admission.
-        margin = self.steps_per_sync * (1 + max(self.ecfg.pipeline_depth, 0)) + 1
+        # steps_per_sync * frames_per_dispatch - 1 tokens remain in the
+        # dispatch being processed plus one dispatch in flight per pipeline
+        # level, plus one token for a first-token readback still pending
+        # under async admission.
+        margin = (
+            self.steps_per_sync
+            * self.frames_per_dispatch
+            * (1 + max(self.ecfg.pipeline_depth, 0))
+            + 1
+        )
         out_of_budget = (
             req.generated >= req.sampling.max_tokens
             or req.generated + req.ctx_len >= self.ecfg.max_seq_len - margin
@@ -720,15 +964,57 @@ class OrpheusEngine:
         return "dense"
 
     def _dispatch_frame(self, gate):
-        """Issue one decode dispatch; returns (device toks, slot snapshot)."""
+        """Issue one decode dispatch; returns (payload, slot snapshot).
+
+        ``payload`` is ``(toks, pcm, emit)``; audio batches run the FUSED
+        frame program (decode + sample + on-device code ring + batched
+        SNAC hop), so the frame's tokens AND its emitted PCM come back in
+        one readback.  Token-only batches leave pcm/emit as None and skip
+        the codec entirely.
+        """
         n = self.steps_per_sync
+        # device-side early stop over the union of default + in-flight
+        # per-request stop ids.  The union is a static arg, so a novel
+        # custom stop set costs one extra compile; the common case (all
+        # requests on defaults) reuses a single program.
+        stop_ids = tuple(sorted(self._all_stop_ids()))
+        audio_reqs = [r for r in self._by_slot.values() if r.audio]
+        if self._codec is not None and audio_reqs:
+            # adaptive frame batching: pay the per-dispatch readback tax
+            # once per k frames in steady state, but drop to one frame
+            # whenever a stream still awaits its first hop (TTFA) or an
+            # admission is in flight (prefill interleave cadence)
+            k = self.frames_per_dispatch
+            if (
+                self._prefill_jobs
+                or self._pending_first
+                or not self._pending.empty()
+                or any(r.planner.emitted == 0 for r in audio_reqs)
+            ):
+                k = 1
+            bucket = self._context_bucket(n * k)
+            snac_params, snac_cfg = self._codec
+            (self.dstate, self._snac_state, toks, pcm, emit) = (
+                _decode_audio_multi(
+                    self.params,
+                    self.dstate,
+                    snac_params,
+                    self._snac_state,
+                    self._split_key(),
+                    gate,
+                    cfg=self.cfg,
+                    snac_cfg=snac_cfg,
+                    attn_impl=self._attn_for(bucket),
+                    n_steps=n,
+                    stop_ids=stop_ids,
+                    bucket=bucket,
+                    lenient=self.ecfg.lenient_audio_codes,
+                    n_frames=k,
+                )
+            )
+            return (toks, pcm, emit), dict(self._by_slot)
+        bucket = self._context_bucket(n)
         if n > 1:
-            # device-side early stop over the union of default + in-flight
-            # per-request stop ids.  The union is a static arg, so a novel
-            # custom stop set costs one extra compile; the common case (all
-            # requests on defaults) reuses a single program.
-            stop_ids = tuple(sorted(self._all_stop_ids()))
-            bucket = self._context_bucket(n)
             self.dstate, toks = _decode_multi(
                 self.params,
                 self.dstate,
@@ -741,7 +1027,6 @@ class OrpheusEngine:
                 bucket=bucket,
             )
         else:
-            bucket = self._context_bucket(1)
             self.dstate, toks = _decode(
                 self.params,
                 self.dstate,
@@ -751,7 +1036,7 @@ class OrpheusEngine:
                 attn_impl=self._attn_for(bucket),
                 bucket=bucket,
             )
-        return toks, dict(self._by_slot)
+        return (toks, None, None), dict(self._by_slot)
 
     def _route_token(
         self,
@@ -760,8 +1045,18 @@ class OrpheusEngine:
         token: int,
         pending_hops: List[tuple],
         finished_audio: List[Request],
-    ) -> None:
-        """Deliver one sampled token and stage its audio hops (if any)."""
+    ) -> bool:
+        """Deliver one sampled token and track its audio framing.
+
+        With a codec attached, steady/head hops are computed ON DEVICE by
+        the fused frame program; the host planner runs as a mirror (same
+        schedule, no dispatches) so end-of-stream flush hops — the only
+        ones the device can't anticipate — still know the window and the
+        emit frontier.  Returns True when the planner mirror produced a
+        head/steady hop for this token (the caller uses it to gate the
+        matching device-emitted PCM).
+        """
+        pushed = False
         self._deliver(req, token)
         if req.audio:
             from ..adapters.runtime import (
@@ -776,21 +1071,20 @@ class OrpheusEngine:
                 code = audio_code_from_token_id(token, req.audio_pos)
             if code is not None:
                 req.audio_pos += 1
-                for h in req.planner.push(code):
-                    pending_hops.append((slot, req, h))
+                # mirror only: the device emitted the hop's PCM already
+                pushed = bool(req.planner.push(code))
             if req.done:
                 for h in req.planner.flush():
                     pending_hops.append((slot, req, h))
                 finished_audio.append(req)
+        return pushed
 
     def _flush_first_tokens(self) -> None:
-        """Read back first tokens of prefills dispatched since the last frame.
+        """Read back first tokens of prefills not yet routed (rare paths).
 
-        Called right after the next frame is dispatched: the readback waits
-        only for the (already-executing) prefill, never holding up the frame
-        pipeline, and first tokens are delivered before any decode tokens of
-        the same request (its decode tokens only exist in frames dispatched
-        after this point).
+        The main loop folds pending firsts into each frame's single
+        readback (_process_frame); this standalone reader covers the
+        parked / idle / shutdown branches where no frame is in flight.
         """
         if not self._pending_first:
             return
@@ -809,39 +1103,102 @@ class OrpheusEngine:
         for req in finished_audio:
             self._pending_audio.append(("eos", req))
 
-    def _process_frame(self, toks, slot_map: Dict[int, Request]) -> None:
-        """Readback + token routing for one completed frame dispatch.
+    def _process_frame(
+        self,
+        payload,
+        slot_map: Dict[int, Request],
+        firsts: Sequence[tuple] = (),
+        host_out=None,
+    ) -> None:
+        """Routing for one completed frame dispatch (single readback).
 
         ``slot_map`` is the slot->request snapshot taken at dispatch time:
         a slot freed and re-admitted while this frame was in flight must
         not leak the old request's tail tokens into the new one.
+        ``firsts`` are (slot, req, device scalar) first tokens sampled by
+        prefills dispatched BEFORE this frame — routed first, since their
+        codes entered the device ring first.  ``host_out`` is the already-
+        fetched host copy of ``(toks, pcm, emit, first values)`` (the loop
+        fetches it off-thread); when None it is read here.
         """
-        toks_host = np.asarray(jax.device_get(toks))
+        toks, pcm, emit = payload
+        if host_out is None:
+            host_out = jax.device_get(
+                (toks, pcm, emit, [f[2] for f in firsts])
+            )
+        toks_host, pcm_host, emit_host, firsts_host = host_out
+        pending_hops: List[tuple] = []  # (slot, req, stream_decode.Hop)
+        finished_audio: List[Request] = []
+
+        for (slot, req, _), val in zip(firsts, firsts_host):
+            if req.done or self._by_slot.get(slot) is not req:
+                continue  # cancelled while the prefill was in flight
+            self._route_token(slot, req, int(val), pending_hops,
+                              finished_audio)
+
+        toks_host = np.asarray(toks_host)
         if toks_host.ndim == 1:
             toks_host = toks_host[None, :]
         self.steps += toks_host.shape[0]
-        pending_hops: List[tuple] = []  # (slot, req, stream_decode.Hop)
-        finished_audio: List[Request] = []
-        for step_row in toks_host:
-            for slot, req in slot_map.items():
-                if req.state is not RequestState.DECODING:
-                    continue
-                if self._by_slot.get(slot) is not req:
-                    continue  # slot re-assigned mid-flight
-                token = int(step_row[slot])
-                if token < 0:
-                    continue
-                self._route_token(slot, req, token, pending_hops, finished_audio)
-        if pending_hops:
+
+        def route_rows(rows, host_hops=None):
+            for step_row in rows:
+                for slot, req in slot_map.items():
+                    if req.state is not RequestState.DECODING:
+                        continue
+                    if self._by_slot.get(slot) is not req:
+                        continue  # slot re-assigned mid-flight
+                    token = int(step_row[slot])
+                    if token < 0:
+                        continue
+                    pushed = self._route_token(slot, req, token,
+                                               pending_hops, finished_audio)
+                    if pushed and host_hops is not None:
+                        host_hops.add(slot)
+
+        if pcm_host is None:
+            route_rows(toks_host)
+        else:
+            # fused-frame PCM, one phase per codec frame: deliver a lane's
+            # hop only when the HOST planner mirror also produced it from
+            # the routed tokens — a lane whose request stopped (budget /
+            # stop token) mid-dispatch keeps generating on device, and its
+            # post-stop device hops must not reach the consumer (the flush
+            # hops are built from the planner's shorter history).
+            pcm_host = np.asarray(pcm_host)
+            emit_host = np.asarray(emit_host)
+            n_phases = pcm_host.shape[0]
+            rows_per = toks_host.shape[0] // n_phases
+            for ph in range(n_phases):
+                host_hops: set = set()
+                route_rows(
+                    toks_host[ph * rows_per:(ph + 1) * rows_per], host_hops
+                )
+                for slot, req in slot_map.items():
+                    if not (req.audio and emit_host[ph, slot]
+                            and slot in host_hops):
+                        continue
+                    if req.state is RequestState.CANCELLED:
+                        continue
+                    req.pcm_queue.put_nowait(pcm_host[ph, slot].tobytes())
+
+        if pending_hops:  # end-of-stream flush hops only
             self._run_audio_hops(pending_hops)
         for req in finished_audio:
             self._pending_audio.append(("eos", req))
 
     async def _run(self) -> None:
-        # software-pipelined serving loop: while frame N executes on device,
-        # the host reads back and routes frame N-1 (device_get overlaps with
-        # the in-flight dispatch), hiding host/tunnel latency entirely
-        inflight: Optional[tuple] = None  # (toks device array, slot snapshot)
+        # One frame iteration = ONE dispatch + ONE host-blocking readback.
+        # The axon/TPU tunnel charges ~25-40 ms per readback and serialises
+        # readbacks behind queued programs, so the r2 "software pipeline"
+        # (dispatch N+1, then read N) made every readback wait out the next
+        # frame too — measured 101 ms vs 87 ms per iteration at ctx 512,
+        # and three readbacks per iteration (tokens, PCM, firsts) sat in
+        # the loop.  Now the fused frame program returns tokens + PCM +
+        # pending first tokens in a single device_get, issued BEFORE the
+        # next dispatch and awaited off-thread so HTTP handlers and
+        # consumers keep running during the frame's device time.
+        loop = asyncio.get_running_loop()
         while not self._closed:
             # admit at most ONE request per iteration: the first stream of
             # an arrival burst gets its first frame after its own prefill
@@ -855,10 +1212,6 @@ class OrpheusEngine:
             if not self._by_slot:
                 self._flush_first_tokens()  # all-cancelled edge: drop stale
                 self._flush_audio()
-                if inflight is not None:
-                    self._process_frame(*inflight)
-                    inflight = None
-                    continue
                 if self._pending.empty():
                     self._wake.clear()
                     try:
@@ -879,14 +1232,10 @@ class OrpheusEngine:
                     self._flush_first_tokens()
                     await asyncio.sleep(0)
                     continue
-                # every live consumer queue is saturated: drain in-flight
+                # every live consumer queue is saturated: drain pending
                 # work, then park until a consumer get() wakes the loop
                 self._flush_first_tokens()
                 self._flush_audio()
-                if inflight is not None:
-                    self._process_frame(*inflight)
-                    inflight = None
-                    continue  # routing may have changed queue depths
                 self._wake.clear()
                 if (
                     self._backpressure_gate() is not None
@@ -900,43 +1249,39 @@ class OrpheusEngine:
                     pass
                 continue
 
-            frame = self._dispatch_frame(gate)
+            payload, slot_map = self._dispatch_frame(gate)
+            # firsts sampled by prefills dispatched BEFORE this frame ride
+            # its readback (their codes entered the device ring first); a
+            # chunk dispatched below samples at the earliest into the NEXT
+            # frame's readback
+            firsts, self._pending_first = self._pending_first, []
             # at most one prefill chunk rides behind this frame: long
             # admissions cost one chunk-time of cadence per frame, never
             # a back-to-back chunk train (VERDICT r2 next #4)
             self._advance_prefill()
-            # hops dispatched last iteration executed behind the PREVIOUS
-            # frame; with this frame already queued, their readback costs
-            # nothing on the dispatch cadence
+            host_out = await loop.run_in_executor(
+                None,
+                jax.device_get,
+                (payload[0], payload[1], payload[2],
+                 [f[2] for f in firsts]),
+            )
+            self._process_frame(payload, slot_map, firsts, host_out)
+            # end-of-stream flush hops dispatched during routing (device
+            # is idle now; this costs one extra readback only on
+            # iterations where a stream ended)
             self._flush_audio()
-            # first tokens from prefills dispatched before this frame: the
-            # next frame is already queued, so this readback never stalls
-            # the device pipeline
-            self._flush_first_tokens()
-            if inflight is not None:
-                self._process_frame(*inflight)
-            if self.ecfg.pipeline_depth <= 0:
-                self._process_frame(*frame)
-                inflight = None
-            else:
-                inflight = frame
-            # let other coroutines (HTTP handlers, codec) run
-            await asyncio.sleep(0)
         self._flush_first_tokens()
-        if inflight is not None:
-            self._process_frame(*inflight)
         self._flush_audio()
 
     def _run_audio_hops(self, pending: List[tuple]) -> None:
-        """Dispatch the stateful streaming SNAC decoder for pending hops.
+        """Dispatch host-planned SNAC hops (end-of-stream flushes).
 
-        Each lane (= engine slot) carries cached per-layer activation
-        tails (codec/stream_decode.py), so every hop decodes a static
-        4-frame window — vs 7 for the windowed recompute this replaces —
-        and mid-stream frames are EXACT prefix-decode values.  All lanes'
-        hops for one engine frame run in ONE dispatch with per-lane
-        commit masks; a lane needing several hops (EOS flush after a
-        steady hop) takes one extra round.
+        Steady/head hops run INSIDE the fused frame program; what reaches
+        here are the flush hops the device cannot anticipate (commit=False
+        drains of the last window when a stream ends) plus the rare parked-
+        branch paths.  All lanes' hops for one round run in ONE dispatch
+        with per-lane commit masks; a lane needing several hops takes one
+        extra round.
         """
         from ..codec.stream_decode import FRAME_TOKENS  # noqa: F401
         from ..codec.stream_decode import WINDOW_FRAMES, snac_stream_step

@@ -179,10 +179,11 @@ def kv_cache_shardings(mesh: Mesh, quantized: bool = False) -> Dict:
     return out
 
 
-def engine_state_shardings(mesh: Mesh, quantized_cache: bool = False) -> Dict:
+def engine_state_shardings(mesh: Mesh, quantized_cache: bool = False,
+                           audio_ring: bool = False) -> Dict:
     """Full engine dstate pytree shardings (see OrpheusEngine.dstate)."""
     slot = _ns(mesh, "data")
-    return {
+    out = {
         "cache": kv_cache_shardings(mesh, quantized_cache),
         "lengths": slot,
         "active": slot,
@@ -192,6 +193,16 @@ def engine_state_shardings(mesh: Mesh, quantized_cache: bool = False) -> Dict:
         "top_p": slot,
         "rep_pen": slot,
     }
+    if audio_ring:  # fused-codec engines: slot-sharded ring state
+        out.update({
+            "ring": _ns(mesh, "data", None),
+            "partial": _ns(mesh, "data", None),
+            "pcnt": slot,
+            "fcnt": slot,
+            "audio_pos": slot,
+            "frame_done": slot,
+        })
+    return out
 
 
 def batch_shardings(mesh: Mesh) -> NamedSharding:

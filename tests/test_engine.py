@@ -153,7 +153,7 @@ def test_stale_frame_not_delivered_to_reassigned_slot(params, cfg):
         new.slot = 1
         eng._by_slot[1] = new  # slot was re-assigned while frame was in flight
         snapshot = {1: old}
-        eng._process_frame(np.asarray([[0, 9, 0, 0]]), snapshot)
+        eng._process_frame((np.asarray([[0, 9, 0, 0]]), None, None), snapshot)
         await eng.close()
         return old, new
 
