@@ -175,8 +175,10 @@ def main() -> None:
         # bf16-KV engine: 8 slots x 4096 ctx (8 x 8192 bf16 KV would be
         # ~15 GiB cache + 3.3 GiB int8 weights > 16 GiB HBM — the 8k
         # serving posture at batch 8 REQUIRES the int8 KV cache)
-        bf16_max_seq, bf16_rows_spec = 4096, [(512, 280), (2048, 280)]
-        int8_max_seq, int8_rows_spec = 8192, [(2048, 280), (8000, 140)]
+        # 560 tokens = 80 frames/stream: the row's wall-clock is dominated
+        # by the steady multi-frame cadence, not the admission ramp
+        bf16_max_seq, bf16_rows_spec = 4096, [(512, 560), (2048, 560)]
+        int8_max_seq, int8_rows_spec = 8192, [(2048, 560), (8000, 140)]
         n_streams = 8
         warm_tokens = 14
         model_name = "orpheus_3b_int8w"

@@ -549,7 +549,7 @@ class OrpheusEngine:
         mesh=None,  # jax.sharding.Mesh (data, model): TP/DP-sharded serving
         seed: int = 0,
     ) -> None:
-        from ..model.quant import fuse_layer_weights, is_quantized
+        from ..model.quant import fuse_layer_weights
 
         self.mesh = mesh
         tp = mesh is not None and dict(mesh.shape).get("model", 1) > 1
@@ -596,14 +596,13 @@ class OrpheusEngine:
                 shardings_like,
             )
 
-            has_quant = any(
-                is_quantized(v) for v in self.params["layers"].values()
-            )
-            if tp and has_quant:
-                raise NotImplementedError(
-                    "tensor-parallel serving currently requires unquantized "
-                    "(bf16) weights; int8 scale sharding lands later"
-                )
+            # int8 weights shard like their bf16 counterparts: the int8
+            # payload takes the weight spec and the per-output-column scale
+            # the spec minus the contraction axis (shardings_like); for
+            # row-sharded (wo/wd) projections the replicated scale commutes
+            # with the partial-sum reduction, so scale-after-psum equals
+            # psum-of-scaled.  TP x int8 greedy traces are equality-tested
+            # against the unsharded engine (tests/test_parallel.py).
             pshard = param_shardings(
                 model_cfg, mesh, mode="tp" if tp else "replicated"
             )

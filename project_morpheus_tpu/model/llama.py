@@ -160,6 +160,19 @@ def quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 # ------------------------------------------------------------------ forward
 
 
+def lm_head_logits(params: Params, h: jnp.ndarray) -> jnp.ndarray:
+    """Final-hidden -> fp32 logits (tied-embedding or separate lm_head).
+
+    Shared by the full forward and the chunked-vocab training loss, which
+    applies it per sequence chunk so the (S, padded_vocab) logits tensor
+    never materialises whole.
+    """
+    head = params.get("lm_head")
+    if head is None:
+        return tied_lm_head_logits(h, params["embed"])
+    return matmul_maybe_quant(h, head).astype(jnp.float32)
+
+
 def _split_heads(x: jnp.ndarray, n: int, hd: int) -> jnp.ndarray:
     return x.reshape(*x.shape[:-1], n, hd)
 
@@ -200,11 +213,19 @@ def llama_forward(
     lora_scale: float = 1.0,
     attn_impl: str = "dense",  # "dense" | "blockwise" (O(S*block) memory)
     remat: bool = False,  # rematerialise each layer in the backward pass
+    return_hidden: bool = False,  # skip the lm head; return (B, S, D)
+    scan_layers: bool = True,  # False: python-unrolled layer loop — the
+    # lax.scan backward double-buffers its per-layer gradient accumulators
+    # (~2x the stacked layer grads, +4 GB at 3B bf16); unrolling keeps a
+    # single accumulator at the cost of a larger program (the single-chip
+    # seq-8192 training posture)
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Full-sequence forward (training / prefill).
 
-    Returns logits ``(B, S, padded_vocab)`` in fp32 and, when ``cache`` is
-    given, the cache with this sequence's K/V written at ``cache_offset``.
+    Returns logits ``(B, S, padded_vocab)`` in fp32 — or, with
+    ``return_hidden``, the final normed hidden states ``(B, S, D)`` for a
+    chunked lm-head application — and, when ``cache`` is given, the cache
+    with this sequence's K/V written at ``cache_offset``.
     """
     B, S = tokens.shape
     if positions is None:
@@ -258,19 +279,51 @@ def llama_forward(
             )
         return x, (k, v)
 
-    scan_in = (lp, lora["layers"]) if lora is not None else lp
     # jax.checkpoint trades FLOPs for HBM: only layer-boundary residuals are
     # kept live for the backward pass (the long-sequence training recipe;
     # reference trains seq 8192 under flash-attn, pretrain/train.py:142,170)
     layer_fn = jax.checkpoint(layer) if remat else layer
-    x, kv = lax.scan(layer_fn, x, scan_in)
+    if isinstance(lp, (list, tuple)):
+        # GROUPED layer layout (training.pretrain.group_layer_params): the
+        # stack is split into separate per-group leaves and scanned group
+        # by group.  XLA double-buffers a scan's per-iteration outputs —
+        # for the backward scan those outputs ARE the stacked weight
+        # gradients, so one 28-layer scan keeps 2x the full layer grads
+        # live (+3.9 GB at 3B bf16).  With G groups only the ACTIVE
+        # group's gradient output is double-buffered (~1/G of that), which
+        # is what fits the single-chip seq-8192 recipe.  Separate leaves
+        # (not slices of one array) keep the grad of each group free of
+        # the pad-to-full-and-add transpose that static slicing creates.
+        assert lora is None, "grouped layer layout does not carry LoRA"
+        assert cache is None, "grouped layer layout is a training-only path"
+        for lp_g in lp:
+            x, _ = lax.scan(layer_fn, x, lp_g)
+        kv = (None, None)
+    else:
+        scan_in = (lp, lora["layers"]) if lora is not None else lp
+        if scan_layers:
+            x, kv = lax.scan(layer_fn, x, scan_in)
+        else:
+            ks_list, vs_list = [], []
+            for i in range(cfg.num_layers):
+                sc_i = jax.tree.map(lambda a: a[i], scan_in)
+                x, (k_i, v_i) = layer_fn(x, sc_i)
+                if cache is not None:
+                    ks_list.append(k_i)
+                    vs_list.append(v_i)
+            kv = (
+                (jnp.stack(ks_list), jnp.stack(vs_list))
+                if cache is not None
+                else (None, None)
+            )
 
     x = rmsnorm(x, params["ln_f"], cfg.rms_eps)
-    head = params.get("lm_head")
-    if head is None:
-        logits = tied_lm_head_logits(x, params["embed"])
+    if return_hidden:
+        logits = x  # final normed hidden states (B, S, D); callers apply
+        # lm_head_logits per sequence chunk (chunked-vocab loss: a full
+        # (S, padded_vocab) fp32 logits + grad pair is ~10 GB at seq 8192)
     else:
-        logits = matmul_maybe_quant(x, head).astype(jnp.float32)
+        logits = lm_head_logits(params, x)
 
     new_cache = None
     if cache is not None:

@@ -10,6 +10,7 @@ logging parity (:115-126).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Callable, Dict, Iterable, Optional, Tuple
 
@@ -19,7 +20,7 @@ import numpy as np
 import optax
 
 from ..model.config import LlamaConfig
-from ..model.llama import llama_forward
+from ..model.llama import llama_forward, lm_head_logits
 from ..parallel import batch_shardings, make_mesh, param_shardings
 from .data import IGNORE_LABEL
 
@@ -70,9 +71,38 @@ def causal_lm_loss(
     lora_scale=1.0,
     attn_impl: str = "dense",
     remat: bool = False,
+    logits_chunk: int = 0,
+    scan_layers: bool = True,
 ) -> jnp.ndarray:
-    """Next-token cross entropy with -100 labels ignored."""
-    logits, _ = llama_forward(
+    """Next-token cross entropy with -100 labels ignored.
+
+    ``logits_chunk > 0`` switches to the CHUNKED-VOCAB loss: the forward
+    returns hidden states and the lm head + softmax-xent run per sequence
+    chunk under ``jax.checkpoint``, so the full ``(S, padded_vocab)`` fp32
+    logits tensor (and its gradient — together ~10 GB at seq 8192 over
+    the 157k vocab) never materialises.  Loss is bit-comparable to the
+    dense path (same reductions, fp32 accumulation; equality-tested).
+    """
+    if not logits_chunk:
+        logits, _ = llama_forward(
+            params,
+            batch["input_ids"],
+            cfg,
+            attn_mask=batch["attention_mask"],
+            lora=lora,
+            lora_scale=lora_scale,
+            attn_impl=attn_impl,
+            remat=remat,
+            scan_layers=scan_layers,
+        )
+        logits = logits[:, :-1]
+        labels = batch["labels"][:, 1:]
+        mask = labels != IGNORE_LABEL
+        safe = jnp.where(mask, labels, 0)
+        ll = optax.softmax_cross_entropy_with_integer_labels(logits, safe)
+        return jnp.sum(ll * mask) / jnp.maximum(jnp.sum(mask), 1)
+
+    hidden, _ = llama_forward(
         params,
         batch["input_ids"],
         cfg,
@@ -81,13 +111,38 @@ def causal_lm_loss(
         lora_scale=lora_scale,
         attn_impl=attn_impl,
         remat=remat,
-    )
-    logits = logits[:, :-1]
+        return_hidden=True,
+        scan_layers=scan_layers,
+    )  # (B, S, D)
+    hidden = hidden[:, :-1]
     labels = batch["labels"][:, 1:]
     mask = labels != IGNORE_LABEL
     safe = jnp.where(mask, labels, 0)
-    ll = optax.softmax_cross_entropy_with_integer_labels(logits, safe)
-    return jnp.sum(ll * mask) / jnp.maximum(jnp.sum(mask), 1)
+
+    B, T, D = hidden.shape
+    C = logits_chunk
+    n_chunks = -(-T // C)
+    pad = n_chunks * C - T
+    hidden = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0)))
+    safe = jnp.pad(safe, ((0, 0), (0, pad)))
+    mask = jnp.pad(mask, ((0, 0), (0, pad)))
+    # scan over chunks; checkpoint makes the backward recompute each
+    # chunk's logits instead of storing them
+    hidden = hidden.reshape(B, n_chunks, C, D).swapaxes(0, 1)
+    safe = safe.reshape(B, n_chunks, C).swapaxes(0, 1)
+    mask = mask.reshape(B, n_chunks, C).swapaxes(0, 1)
+
+    @jax.checkpoint
+    def chunk_loss(carry, xs):
+        h_c, lab_c, m_c = xs
+        logits = lm_head_logits(params, h_c)  # (B, C, padded_vocab) fp32
+        ll = optax.softmax_cross_entropy_with_integer_labels(logits, lab_c)
+        return carry + jnp.sum(ll * m_c), None
+
+    total, _ = jax.lax.scan(
+        chunk_loss, jnp.zeros((), jnp.float32), (hidden, safe, mask)
+    )
+    return total / jnp.maximum(jnp.sum(mask), 1)
 
 
 def resolve_attn(seq_len: int, attn_impl: str = "auto", remat: str = "auto"):
@@ -98,25 +153,80 @@ def resolve_attn(seq_len: int, attn_impl: str = "auto", remat: str = "auto"):
     return impl, rm
 
 
+# chunked-vocab loss chunk length for long sequences (auto posture): 1024
+# positions x 157k padded vocab = 640 MB of fp32 chunk logits vs ~5 GB
+# (+5 GB gradient) for the whole sequence
+LOGITS_CHUNK = 1024
+
+
+def group_layer_params(params: Dict, groups: int) -> Dict:
+    """Split the stacked (L, ...) layer leaves into ``groups`` separate
+    per-group leaves (a list of pytrees, each (L/groups, ...)).
+
+    XLA double-buffers a scan's per-iteration outputs; in the backward
+    scan those outputs are the stacked weight gradients, so one scan over
+    all layers keeps 2x the full layer grads live (+3.9 GB at 3B bf16 —
+    the single-chip seq-8192 OOM margin).  Grouped leaves bound the
+    double-buffered gradient to one group's worth.  The grouped pytree
+    feeds ``llama_forward`` (grouped branch) and any optax optimizer
+    directly; ``ungroup_layer_params`` restores the canonical layout for
+    checkpoints/serving.
+    """
+    L = params["layers"][next(iter(params["layers"]))].shape[0]
+    assert L % groups == 0, f"{L} layers not divisible into {groups} groups"
+    k = L // groups
+    out = dict(params)
+    out["layers"] = [
+        jax.tree.map(lambda a: a[g * k:(g + 1) * k], params["layers"])
+        for g in range(groups)
+    ]
+    return out
+
+
+def ungroup_layer_params(params: Dict) -> Dict:
+    """Inverse of :func:`group_layer_params` (concat groups back)."""
+    if not isinstance(params["layers"], (list, tuple)):
+        return params
+    out = dict(params)
+    out["layers"] = jax.tree.map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *params["layers"]
+    )
+    return out
+
+
 def make_train_step(
     cfg: LlamaConfig,
     optimizer: optax.GradientTransformation,
     attn_impl: str = "auto",
     remat: str = "auto",
+    scan_layers: bool = True,
 ) -> Callable:
     """One jitted fwd/bwd/update step; shard params+batch before calling.
 
     ``attn_impl="auto"`` resolves per traced batch shape: sequences at or
-    above ``LONG_SEQ_THRESHOLD`` use blockwise attention + remat so the
-    reference recipe (3B, seq 8192, pretrain/train.py:142) fits in HBM —
-    a dense (B, KV, G, S, S) fp32 score tensor at 8192 is tens of GB.
+    above ``LONG_SEQ_THRESHOLD`` use blockwise attention + remat AND the
+    chunked-vocab loss so the reference recipe (3B, seq 8192,
+    pretrain/train.py:142) fits in HBM — a dense (B, KV, G, S, S) fp32
+    score tensor at 8192 is tens of GB, and the full-sequence logits +
+    gradient pair is another ~10 GB over the 157k vocab.
+
+    ``params`` and ``opt_state`` are DONATED: XLA updates them in place
+    (peak = params + grads + chunk temporaries, not 2x params).  Callers
+    must use the returned values, not the arguments (donation is a no-op
+    on the CPU test platform).
     """
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch):
         impl, rm = resolve_attn(batch["input_ids"].shape[1], attn_impl, remat)
+        chunk = (
+            LOGITS_CHUNK
+            if batch["input_ids"].shape[1] >= LONG_SEQ_THRESHOLD
+            else 0
+        )
         loss, grads = jax.value_and_grad(causal_lm_loss)(
-            params, batch, cfg, attn_impl=impl, remat=rm
+            params, batch, cfg, attn_impl=impl, remat=rm,
+            logits_chunk=chunk, scan_layers=scan_layers,
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

@@ -25,7 +25,6 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-
 def main() -> int:
     import jax
     import jax.numpy as jnp
@@ -48,12 +47,21 @@ def main() -> int:
         iters = 2
 
     params = init_llama_params(cfg, jax.random.key(0), dtype=dtype)
-    optimizer = optax.chain(
-        optax.clip_by_global_norm(1.0),
-        optax.adafactor(learning_rate=1e-5),
-    )
+    if on_tpu:
+        # grouped layer leaves bound the scan backward's double-buffered
+        # gradient outputs to 1/G of the stack (group_layer_params doc;
+        # one 28-layer scan measured +3.9 GB = the OOM margin).  A python-
+        # unrolled loop measured WORSE (28.6 GB: all layers' backward
+        # temporaries scheduled concurrently).
+        from project_morpheus_tpu.training.pretrain import group_layer_params
+
+        params = group_layer_params(params, 4)
+    # adafactor's native RMS update clipping instead of an optax.chain with
+    # clip_by_global_norm (one less full gradient-tree temporary)
+    optimizer = optax.adafactor(learning_rate=1e-5, clipping_threshold=1.0)
     opt_state = optimizer.init(params)
-    # long-seq auto posture: blockwise attention + per-layer remat
+    # long-seq auto posture: blockwise attention + per-layer remat +
+    # chunked-vocab loss
     step_fn = make_train_step(cfg, optimizer, attn_impl="auto", remat="auto")
 
     rng = np.random.default_rng(0)

@@ -227,3 +227,37 @@ def test_shardings_like_quantized_and_fused():
     # every array leaf got a sharding; device_put must succeed
     placed = jax.device_put(params, sh)
     assert placed["layers"]["wqkv"]["q"].shape == params["layers"]["wqkv"]["q"].shape
+
+
+def test_engine_tp_int8_matches_unsharded():
+    """TP serving with int8 weights: the per-output-column scales shard
+    with their payloads (shardings_like) and the greedy token trace equals
+    the unsharded int8 engine's."""
+    import asyncio
+
+    import jax
+
+    from project_morpheus_tpu.engine import EngineConfig, OrpheusEngine
+    from project_morpheus_tpu.model import LlamaConfig, init_llama_params
+    from project_morpheus_tpu.model.quant import quantize_params_int8
+    from project_morpheus_tpu.model.sampling import SamplingParams
+    from project_morpheus_tpu.parallel import make_mesh
+
+    cfg = LlamaConfig.tiny_vocab()
+    params = quantize_params_int8(
+        init_llama_params(cfg, jax.random.key(5), dtype=jnp.float32)
+    )
+    ecfg = EngineConfig(max_slots=2, max_seq_len=64, prefill_buckets=(16,),
+                        default_stop_ids=())
+    sp = SamplingParams(temperature=0.0, max_tokens=6, stop_token_ids=())
+
+    async def run(mesh):
+        eng = OrpheusEngine(params, cfg, ecfg, mesh=mesh, seed=3)
+        req = await eng.submit([5, 6, 7], sp)
+        toks = [t async for t in req.tokens()]
+        await eng.close()
+        return toks
+
+    base = asyncio.run(run(None))
+    tp = asyncio.run(run(make_mesh(model=2, devices=jax.devices()[:4])))
+    assert base == tp, f"TP int8 trace {tp} != unsharded {base}"

@@ -205,3 +205,116 @@ def test_resolve_attn_auto():
     assert resolve_attn(512) == ("dense", False)
     assert resolve_attn(8192) == ("blockwise", True)
     assert resolve_attn(8192, attn_impl="dense", remat="off") == ("dense", False)
+
+
+def test_chunked_vocab_loss_matches_dense():
+    """The chunked-vocab loss (hidden states + per-chunk lm head under
+    jax.checkpoint — the seq-8192 HBM posture) must equal the dense loss
+    and produce the same gradients."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from project_morpheus_tpu.model import LlamaConfig, init_llama_params
+    from project_morpheus_tpu.training.pretrain import causal_lm_loss
+
+    cfg = LlamaConfig.tiny_vocab()
+    params = init_llama_params(cfg, jax.random.key(0), dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    B, S = 2, 37  # odd length: exercises chunk padding
+    ids = rng.integers(5, cfg.vocab_size - 5, size=(B, S))
+    labels = ids.copy()
+    labels[0, :9] = -100  # ignored span
+    batch = {
+        "input_ids": jnp.asarray(ids, jnp.int32),
+        "attention_mask": jnp.ones((B, S), bool),
+        "labels": jnp.asarray(labels, jnp.int32),
+    }
+
+    dense, dense_g = jax.value_and_grad(causal_lm_loss)(
+        params, batch, cfg, logits_chunk=0
+    )
+    chunk, chunk_g = jax.value_and_grad(causal_lm_loss)(
+        params, batch, cfg, logits_chunk=8
+    )
+    assert np.allclose(float(dense), float(chunk), rtol=1e-5, atol=1e-6)
+    flat_d = jax.tree.leaves(dense_g)
+    flat_c = jax.tree.leaves(chunk_g)
+    for d, c in zip(flat_d, flat_c):
+        np.testing.assert_allclose(np.asarray(d), np.asarray(c),
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_unrolled_layer_loop_matches_scan():
+    """scan_layers=False (single-chip seq-8192 HBM posture: no scan-backward
+    double-buffered grad accumulators) must match the scanned loop."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from project_morpheus_tpu.model import LlamaConfig, init_llama_params
+    from project_morpheus_tpu.training.pretrain import causal_lm_loss
+
+    cfg = LlamaConfig.tiny_vocab()
+    params = init_llama_params(cfg, jax.random.key(3), dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    B, S = 2, 33
+    ids = rng.integers(5, cfg.vocab_size - 5, size=(B, S))
+    batch = {
+        "input_ids": jnp.asarray(ids, jnp.int32),
+        "attention_mask": jnp.ones((B, S), bool),
+        "labels": jnp.asarray(ids, jnp.int32),
+    }
+    l1, g1 = jax.value_and_grad(causal_lm_loss)(
+        params, batch, cfg, scan_layers=True, logits_chunk=8, remat=True
+    )
+    l2, g2 = jax.value_and_grad(causal_lm_loss)(
+        params, batch, cfg, scan_layers=False, logits_chunk=8, remat=True
+    )
+    assert np.allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_grouped_layer_params_loss_matches_canonical():
+    """group_layer_params (bounds the scan backward's double-buffered grad
+    outputs to one group — the single-chip seq-8192 posture) is exact:
+    same loss, same grads after ungrouping."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from project_morpheus_tpu.model import LlamaConfig, init_llama_params
+    from project_morpheus_tpu.training.pretrain import (
+        causal_lm_loss,
+        group_layer_params,
+        ungroup_layer_params,
+    )
+
+    cfg = LlamaConfig.tiny_vocab()
+    params = init_llama_params(cfg, jax.random.key(4), dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    B, S = 2, 24
+    ids = rng.integers(5, cfg.vocab_size - 5, size=(B, S))
+    batch = {
+        "input_ids": jnp.asarray(ids, jnp.int32),
+        "attention_mask": jnp.ones((B, S), bool),
+        "labels": jnp.asarray(ids, jnp.int32),
+    }
+    l1, g1 = jax.value_and_grad(causal_lm_loss)(
+        params, batch, cfg, logits_chunk=8, remat=True
+    )
+    grouped = group_layer_params(params, 2)
+    l2, g2 = jax.value_and_grad(causal_lm_loss)(
+        grouped, batch, cfg, logits_chunk=8, remat=True
+    )
+    g2 = ungroup_layer_params(g2)
+    assert np.allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+    # round trip
+    rt = ungroup_layer_params(grouped)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(rt)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
