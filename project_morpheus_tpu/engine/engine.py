@@ -987,7 +987,11 @@ class OrpheusEngine:
             if (
                 self._prefill_jobs
                 or self._pending_first
-                or not self._pending.empty()
+                # an admission is actually imminent only when a slot is
+                # free — with a full slot table a non-empty pending queue
+                # must NOT pin k=1 (it would halve steady throughput
+                # exactly when the engine is most loaded)
+                or (self._free and not self._pending.empty())
                 or any(r.planner.emitted == 0 for r in audio_reqs)
             ):
                 k = 1

@@ -18,6 +18,7 @@ design:
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import Dict, Optional, Tuple
 
@@ -199,6 +200,115 @@ def _attn_full(
     return out.reshape(B, S, cfg.num_heads * cfg.head_dim).astype(q.dtype)
 
 
+def _train_layer(x, wl, positions, inv_freqs, attn_mask, mask, cfg, attn_impl):
+    """One decoder layer (full-finetune path, no LoRA) — module-level so
+    the gradient-accumulating custom-vjp stack below can re-apply it."""
+    B, S = x.shape[:2]
+    h = rmsnorm(x, wl["ln1"], cfg.rms_eps)
+    q, k, v = _project_qkv(h, wl, cfg)
+    q = apply_rope(q, positions, inv_freqs)
+    k = apply_rope(k, positions, inv_freqs)
+    if attn_impl == "blockwise":
+        from ..ops.blockwise_attention import blockwise_causal_attention
+
+        attn = blockwise_causal_attention(q, k, v, attn_mask).reshape(
+            B, S, cfg.num_heads * cfg.head_dim
+        )
+    else:
+        attn = _attn_full(q, k, v, mask, cfg)
+    x = x + matmul_maybe_quant(attn, wl["wo"])
+    h = rmsnorm(x, wl["ln2"], cfg.rms_eps)
+    return x + _mlp(h, wl, cfg)
+
+
+def _f0_like(a):
+    """float0 cotangent for integer/bool primals (custom_vjp contract)."""
+    import numpy as _np
+
+    return _np.zeros(a.shape, jax.dtypes.float0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def stack_apply_accum(cfg, attn_impl, lp, x, positions, inv_freqs,
+                      attn_mask, mask):
+    """Layer stack with a CARRY-accumulated backward.
+
+    ``lax.scan`` transposes gradients w.r.t. its scanned-over inputs (the
+    stacked layer weights) into per-iteration scan OUTPUTS, and XLA
+    double-buffers while-loop outputs — keeping TWO copies of the full
+    stacked layer gradients live (+3.9 GB at 3B bf16; the single-chip
+    seq-8192 OOM margin, see DECISIONS r3-010).  This custom-vjp stack
+    saves only the per-layer boundary activations in the forward and, in
+    the backward, scans the layers in REVERSE carrying (dx, grad_accum):
+    each layer's weight gradient is written into the carried accumulator
+    with an in-place ``dynamic_update_slice`` — carries alias, outputs
+    double-buffer, so peak gradient memory is ONE stacked copy.  The
+    layer forward is recomputed inside the backward (``jax.vjp``), which
+    subsumes per-layer remat.
+    """
+
+    def body(x, wl):
+        return (
+            _train_layer(x, wl, positions, inv_freqs, attn_mask, mask,
+                         cfg, attn_impl),
+            None,
+        )
+
+    x, _ = lax.scan(body, x, lp)
+    return x
+
+
+def _stack_apply_accum_fwd(cfg, attn_impl, lp, x, positions, inv_freqs,
+                           attn_mask, mask):
+    def body(x, wl):
+        x2 = _train_layer(x, wl, positions, inv_freqs, attn_mask, mask,
+                          cfg, attn_impl)
+        return x2, x  # save this layer's INPUT boundary
+
+    x_out, xs = lax.scan(body, x, lp)
+    return x_out, (lp, xs, positions, inv_freqs, attn_mask, mask)
+
+
+def _stack_apply_accum_bwd(cfg, attn_impl, res, dx):
+    lp, xs, positions, inv_freqs, attn_mask, mask = res
+    L = jax.tree.leaves(lp)[0].shape[0]
+    gacc = jax.tree.map(jnp.zeros_like, lp)
+
+    def body(carry, inp):
+        dx, gacc = carry
+        i, wl, x_in = inp
+
+        def f(w, xi):
+            return _train_layer(xi, w, positions, inv_freqs, attn_mask,
+                                mask, cfg, attn_impl)
+
+        _, vjp = jax.vjp(f, wl, x_in)
+        dwl, dxi = vjp(dx)
+        gacc = jax.tree.map(
+            lambda g, d: lax.dynamic_update_slice(
+                g, d.astype(g.dtype)[None], (i,) + (0,) * d.ndim
+            ),
+            gacc,
+            dwl,
+        )
+        return (dxi, gacc), None
+
+    (dx0, gacc), _ = lax.scan(
+        body, (dx, gacc), (jnp.arange(L), lp, xs), reverse=True
+    )
+    return (
+        gacc,
+        dx0,
+        _f0_like(positions),
+        jnp.zeros_like(inv_freqs),
+        _f0_like(attn_mask),
+        _f0_like(mask),
+    )
+
+
+stack_apply_accum.defvjp(_stack_apply_accum_fwd, _stack_apply_accum_bwd)
+
+
 def llama_forward(
     params: Params,
     tokens: jnp.ndarray,  # (B, S) int32
@@ -219,6 +329,9 @@ def llama_forward(
     # (~2x the stacked layer grads, +4 GB at 3B bf16); unrolling keeps a
     # single accumulator at the cost of a larger program (the single-chip
     # seq-8192 training posture)
+    accum_stack_grads: bool = False,  # carry-accumulated backward through
+    # the layer stack (stack_apply_accum): ONE stacked-gradient copy and
+    # implicit per-layer remat — the single-chip long-seq training posture
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Full-sequence forward (training / prefill).
 
@@ -283,7 +396,19 @@ def llama_forward(
     # kept live for the backward pass (the long-sequence training recipe;
     # reference trains seq 8192 under flash-attn, pretrain/train.py:142,170)
     layer_fn = jax.checkpoint(layer) if remat else layer
-    if isinstance(lp, (list, tuple)):
+    if accum_stack_grads:
+        # carry-accumulated custom-vjp stack: training only (no cache, no
+        # LoRA); implies per-layer recompute in the backward (remat)
+        assert lora is None, "accum_stack_grads does not carry LoRA"
+        assert cache is None, "accum_stack_grads is a training-only path"
+        assert not isinstance(lp, (list, tuple)), (
+            "accum_stack_grads expects the canonical stacked layer layout"
+        )
+        x = stack_apply_accum(
+            cfg, attn_impl, lp, x, positions, inv_freqs, attn_mask, mask
+        )
+        kv = (None, None)
+    elif isinstance(lp, (list, tuple)):
         # GROUPED layer layout (training.pretrain.group_layer_params): the
         # stack is split into separate per-group leaves and scanned group
         # by group.  XLA double-buffers a scan's per-iteration outputs —

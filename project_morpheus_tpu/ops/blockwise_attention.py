@@ -88,8 +88,9 @@ def blockwise_causal_attention(
     v: jnp.ndarray,  # (B, S, KV, HD)
     attn_mask: Optional[jnp.ndarray] = None,  # (B, S)
     *,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: int = 256,  # 512 -> 256: the seq-8192 backward materialises
+    block_k: int = 256,  # the per-qblock f32 score blocks stacked (384 MB
+    # at 512; halved at 256) — part of the single-chip training budget
 ) -> jnp.ndarray:
     """Causal GQA attention without materialising the score matrix.
 

@@ -73,6 +73,7 @@ def causal_lm_loss(
     remat: bool = False,
     logits_chunk: int = 0,
     scan_layers: bool = True,
+    accum_stack_grads: bool = False,
 ) -> jnp.ndarray:
     """Next-token cross entropy with -100 labels ignored.
 
@@ -94,6 +95,7 @@ def causal_lm_loss(
             attn_impl=attn_impl,
             remat=remat,
             scan_layers=scan_layers,
+            accum_stack_grads=accum_stack_grads,
         )
         logits = logits[:, :-1]
         labels = batch["labels"][:, 1:]
@@ -113,6 +115,7 @@ def causal_lm_loss(
         remat=remat,
         return_hidden=True,
         scan_layers=scan_layers,
+        accum_stack_grads=accum_stack_grads,
     )  # (B, S, D)
     hidden = hidden[:, :-1]
     labels = batch["labels"][:, 1:]
@@ -153,10 +156,10 @@ def resolve_attn(seq_len: int, attn_impl: str = "auto", remat: str = "auto"):
     return impl, rm
 
 
-# chunked-vocab loss chunk length for long sequences (auto posture): 1024
-# positions x 157k padded vocab = 640 MB of fp32 chunk logits vs ~5 GB
+# chunked-vocab loss chunk length for long sequences (auto posture): 512
+# positions x 157k padded vocab = 320 MB of fp32 chunk logits vs ~5 GB
 # (+5 GB gradient) for the whole sequence
-LOGITS_CHUNK = 1024
+LOGITS_CHUNK = 512
 
 
 def group_layer_params(params: Dict, groups: int) -> Dict:
@@ -194,12 +197,94 @@ def ungroup_layer_params(params: Dict) -> Dict:
     return out
 
 
+def make_grouped_grad_step(
+    cfg: LlamaConfig,
+    optimizer: optax.GradientTransformation,
+    groups: int,
+    attn_impl: str = "auto",
+    remat: str = "auto",
+) -> Callable:
+    """An EXACT optimizer step whose backward runs in ``groups`` passes.
+
+    Params + their gradients for a 3B bf16 model are 12.7 GiB — nearly
+    the whole 15.75 GiB v5e — so one monolithic fwd/bwd program OOMs on
+    its backward temporaries alone (measured 18.1 GiB; boundary
+    activations, relayout copies of the stacked weights, zero-init
+    liveness).  Here pass ``g`` recomputes the forward and differentiates
+    ONLY layer group ``g`` (the other groups are non-diff constants, so
+    no boundary residuals or weight-grad buffers exist for them); grads
+    accumulate across passes on device and ONE update applies them all.
+    Every pass sees the ORIGINAL params, so the result is bit-comparable
+    to the monolithic step (equality-tested) — the price is recomputed
+    forwards (~groups x fwd FLOPs), not approximation.
+
+    Takes/returns GROUPED params (:func:`group_layer_params`).  The
+    reference recipe runs this shape on 8x80 GB via FSDP
+    (Orpheus-TTS/pretrain/train.py:142); this is the single-chip member.
+    """
+
+    def _loss(grp, rest, frozen, g, batch, seq):
+        impl, rm = resolve_attn(seq, attn_impl, remat)
+        layers = list(frozen[:g]) + [grp] + list(frozen[g:])
+        p = {**rest, "layers": layers}
+        return causal_lm_loss(
+            p, batch, cfg, attn_impl=impl, remat=rm,
+            logits_chunk=LOGITS_CHUNK if seq >= LONG_SEQ_THRESHOLD else 0,
+        )
+
+    @functools.partial(jax.jit, static_argnames=("g",))
+    def pgrad(group, frozen, rest, batch, *, g):
+        seq = batch["input_ids"].shape[1]
+        return jax.grad(_loss)(group, rest, frozen, g, batch, seq)
+
+    @functools.partial(jax.jit, static_argnames=("g",))
+    def pgrad_last(group, frozen, rest, batch, *, g):
+        seq = batch["input_ids"].shape[1]
+        return jax.value_and_grad(_loss, argnums=(0, 1))(
+            group, rest, frozen, g, batch, seq
+        )
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def apply(params, opt_state, grads):
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    def step(params, opt_state, batch):
+        layer_groups = params["layers"]
+        assert isinstance(layer_groups, (list, tuple)) and len(
+            layer_groups
+        ) == groups, "params must come from group_layer_params(params, groups)"
+        rest = {k: v for k, v in params.items() if k != "layers"}
+        ggrads: list = []
+        loss = None
+        for g in range(groups):
+            frozen = list(layer_groups[:g]) + list(layer_groups[g + 1:])
+            if g < groups - 1:
+                ggrads.append(
+                    pgrad(layer_groups[g], frozen, rest, batch, g=g)
+                )
+            else:
+                loss, (grp_g, rest_g) = pgrad_last(
+                    layer_groups[g], frozen, rest, batch, g=g
+                )
+                ggrads.append(grp_g)
+        grads = {**rest_g, "layers": ggrads}
+        params, opt_state = apply(params, opt_state, grads)
+        return params, opt_state, loss
+
+    return step
+
+
 def make_train_step(
     cfg: LlamaConfig,
     optimizer: optax.GradientTransformation,
     attn_impl: str = "auto",
     remat: str = "auto",
     scan_layers: bool = True,
+    stack_grad: str = "auto",  # "auto" | "scan" | "accum": "accum" uses
+    # the carry-accumulated custom-vjp layer stack (one stacked-gradient
+    # copy + implicit remat — the single-chip long-seq posture); auto
+    # selects it at seq >= LONG_SEQ_THRESHOLD for full-finetune params
 ) -> Callable:
     """One jitted fwd/bwd/update step; shard params+batch before calling.
 
@@ -218,15 +303,20 @@ def make_train_step(
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch):
-        impl, rm = resolve_attn(batch["input_ids"].shape[1], attn_impl, remat)
-        chunk = (
-            LOGITS_CHUNK
-            if batch["input_ids"].shape[1] >= LONG_SEQ_THRESHOLD
-            else 0
+        seq = batch["input_ids"].shape[1]
+        impl, rm = resolve_attn(seq, attn_impl, remat)
+        long = seq >= LONG_SEQ_THRESHOLD
+        chunk = LOGITS_CHUNK if long else 0
+        accum = stack_grad == "accum" or (
+            stack_grad == "auto"
+            and long
+            and not isinstance(params["layers"], (list, tuple))
         )
         loss, grads = jax.value_and_grad(causal_lm_loss)(
-            params, batch, cfg, attn_impl=impl, remat=rm,
+            params, batch, cfg, attn_impl=impl,
+            remat=rm and not accum,  # accum recomputes layers implicitly
             logits_chunk=chunk, scan_layers=scan_layers,
+            accum_stack_grads=accum,
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

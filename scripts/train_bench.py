@@ -47,22 +47,29 @@ def main() -> int:
         iters = 2
 
     params = init_llama_params(cfg, jax.random.key(0), dtype=dtype)
-    if on_tpu:
-        # grouped layer leaves bound the scan backward's double-buffered
-        # gradient outputs to 1/G of the stack (group_layer_params doc;
-        # one 28-layer scan measured +3.9 GB = the OOM margin).  A python-
-        # unrolled loop measured WORSE (28.6 GB: all layers' backward
-        # temporaries scheduled concurrently).
-        from project_morpheus_tpu.training.pretrain import group_layer_params
-
-        params = group_layer_params(params, 4)
     # adafactor's native RMS update clipping instead of an optax.chain with
     # clip_by_global_norm (one less full gradient-tree temporary)
     optimizer = optax.adafactor(learning_rate=1e-5, clipping_threshold=1.0)
+    grad_groups = 4 if on_tpu else 0
+    if on_tpu:
+        # params + grads alone are 12.7 of the 15.75 GiB: the monolithic
+        # fwd/bwd program OOMs on its backward temporaries (18.1 GiB).
+        # make_grouped_grad_step computes the EXACT same step in 4
+        # gradient passes (one layer group each, all at the original
+        # params) + one update — peak holds one group's temporaries.
+        from project_morpheus_tpu.training.pretrain import (
+            group_layer_params,
+            make_grouped_grad_step,
+        )
+
+        params = group_layer_params(params, grad_groups)
+        step_fn = make_grouped_grad_step(
+            cfg, optimizer, grad_groups, attn_impl="auto", remat="auto"
+        )
+    else:
+        step_fn = make_train_step(cfg, optimizer, attn_impl="auto",
+                                  remat="auto")
     opt_state = optimizer.init(params)
-    # long-seq auto posture: blockwise attention + per-layer remat +
-    # chunked-vocab loss
-    step_fn = make_train_step(cfg, optimizer, attn_impl="auto", remat="auto")
 
     rng = np.random.default_rng(0)
     ids = rng.integers(10, 100_000 if on_tpu else 900, size=(B, S))
@@ -88,6 +95,8 @@ def main() -> int:
         "platform": jax.default_backend(),
         "batch": B,
         "seq_len": S,
+        "grad_groups": grad_groups,  # exact step in N gradient passes
+        # (params+grads = 12.7/15.75 GiB; see make_grouped_grad_step)
         "optimizer": "adafactor (AdamW needs >=8-device FSDP; see "
                      "dryrun_multichip)",
         "step_ms": round(step_s * 1000, 1),

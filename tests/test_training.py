@@ -318,3 +318,86 @@ def test_grouped_layer_params_loss_matches_canonical():
     rt = ungroup_layer_params(grouped)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(rt)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_accum_stack_grads_matches_canonical():
+    """The carry-accumulated custom-vjp layer stack (one stacked-gradient
+    copy, implicit remat — the single-chip seq-8192 posture) must produce
+    the same loss and grads as the scanned stack, for dense and blockwise
+    attention."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from project_morpheus_tpu.model import LlamaConfig, init_llama_params
+    from project_morpheus_tpu.training.pretrain import causal_lm_loss
+
+    cfg = LlamaConfig.tiny_vocab()
+    params = init_llama_params(cfg, jax.random.key(6), dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    B, S = 2, 33
+    ids = rng.integers(5, cfg.vocab_size - 5, size=(B, S))
+    batch = {
+        "input_ids": jnp.asarray(ids, jnp.int32),
+        "attention_mask": jnp.ones((B, S), bool),
+        "labels": jnp.asarray(ids, jnp.int32),
+    }
+    for impl in ("dense", "blockwise"):
+        l1, g1 = jax.value_and_grad(causal_lm_loss)(
+            params, batch, cfg, attn_impl=impl, logits_chunk=8, remat=True
+        )
+        l2, g2 = jax.value_and_grad(causal_lm_loss)(
+            params, batch, cfg, attn_impl=impl, logits_chunk=8,
+            accum_stack_grads=True,
+        )
+        assert np.allclose(float(l1), float(l2), rtol=1e-6), impl
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-6)
+
+
+def test_grouped_grad_step_matches_monolithic():
+    """make_grouped_grad_step (K gradient passes at the original params +
+    one update — the single-chip 3B/seq-8192 posture) must produce the
+    same post-step params as the monolithic step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from project_morpheus_tpu.model import LlamaConfig, init_llama_params
+    from project_morpheus_tpu.training.pretrain import (
+        group_layer_params,
+        make_grouped_grad_step,
+        make_train_step,
+        ungroup_layer_params,
+    )
+
+    cfg = LlamaConfig.tiny_vocab()
+    params = init_llama_params(cfg, jax.random.key(8), dtype=jnp.float32)
+    params2 = jax.tree.map(jnp.array, params)  # step fns donate inputs
+    rng = np.random.default_rng(4)
+    B, S = 2, 40
+    ids = rng.integers(5, cfg.vocab_size - 5, size=(B, S))
+    batch = {
+        "input_ids": jnp.asarray(ids, jnp.int32),
+        "attention_mask": jnp.ones((B, S), bool),
+        "labels": jnp.asarray(ids, jnp.int32),
+    }
+
+    opt1 = optax.adafactor(learning_rate=1e-4, clipping_threshold=1.0)
+    st1 = opt1.init(params)
+    p1, _, l1 = make_train_step(cfg, opt1, stack_grad="scan")(
+        params, st1, batch
+    )
+
+    grouped = group_layer_params(params2, 2)
+    opt2 = optax.adafactor(learning_rate=1e-4, clipping_threshold=1.0)
+    st2 = opt2.init(grouped)
+    p2, _, l2 = make_grouped_grad_step(cfg, opt2, 2)(grouped, st2, batch)
+    p2 = ungroup_layer_params(p2)
+
+    assert np.allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-6)
