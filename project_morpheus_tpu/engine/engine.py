@@ -53,6 +53,13 @@ from .request import Request, RequestState
 _AUDIO_BASE = ORPHEUS_SPECIAL_TOKENS["audio_base"]
 _CODEBOOK = 4096
 _FRAME_TOKENS = 7
+# Per-slot custom stop ids live in a device array (B, _MAX_CUSTOM_STOPS) so
+# novel per-request stop sets never recompile the frame program and one
+# request's custom stop can never deactivate another's lane (the former
+# static stop-id *union* had both defects).  Requests with more custom stops
+# fall back to the host check in _deliver for the overflow ids.
+_MAX_CUSTOM_STOPS = 8
+_NO_CUSTOM_STOPS = np.full((_MAX_CUSTOM_STOPS,), -1, np.int32)
 
 logger = logging.getLogger(__name__)
 
@@ -143,6 +150,48 @@ def _ring_seed(dstate, slot, tok, is_audio, lenient: bool):
     return dstate
 
 
+def _seed_slot_state(dstate, slot, samp, allowed, is_audio, custom_stops):
+    """Per-slot serving state written at admission.
+
+    ``allowed`` is the request's TOTAL generation budget (max_tokens
+    clamped by the context-margin headroom, computed on the host);
+    the prefill samples the first token, so the device-side countdown
+    starts at ``allowed - 1`` and the lane only activates when more
+    than one token is allowed.  The device deactivating a lane at
+    remaining==0 is what keeps the fused codec ring in lockstep with
+    the host StreamPlanner on budget-terminated streams — without it,
+    post-budget device frames would advance the SNAC commit frontier
+    past the planner and corrupt end-of-stream flush audio.
+    """
+    dstate["temp"] = dstate["temp"].at[slot].set(samp[0])
+    dstate["top_p"] = dstate["top_p"].at[slot].set(samp[1])
+    dstate["rep_pen"] = dstate["rep_pen"].at[slot].set(samp[2])
+    dstate["active"] = dstate["active"].at[slot].set(allowed > 1)
+    dstate["remaining"] = dstate["remaining"].at[slot].set(allowed - 1)
+    dstate["is_audio"] = dstate["is_audio"].at[slot].set(is_audio)
+    dstate["custom_stops"] = dstate["custom_stops"].at[slot].set(custom_stops)
+    return dstate
+
+
+def _post_step(dstate, toks, stop_ids: Tuple[int, ...]):
+    """Device-side lane termination after one sampled step.
+
+    A lane stops when it emits a default stop id (static, engine-wide),
+    one of its own custom stop ids (per-slot device array), or exhausts
+    its generation budget.  ``toks`` reads -1 for gated/inactive lanes.
+    """
+    emitted = toks >= 0
+    is_stop = emitted & jnp.any(
+        toks[:, None] == dstate["custom_stops"], axis=1
+    )
+    for s in stop_ids:
+        is_stop = is_stop | (toks == s)
+    remaining = dstate["remaining"] - emitted.astype(jnp.int32)
+    dstate["remaining"] = remaining
+    dstate["active"] = dstate["active"] & ~is_stop & (remaining > 0)
+    return dstate
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "lenient"), donate_argnums=(1,)
 )
@@ -155,6 +204,8 @@ def _prefill(
     samp: jnp.ndarray,        # (3,) temperature, top_p, repetition_penalty
     key: jax.Array,
     is_audio: jnp.ndarray = False,  # () bool — audio-mode request
+    allowed: jnp.ndarray = 2**30,   # () int32 total generation budget
+    custom_stops: jnp.ndarray = _NO_CUSTOM_STOPS,  # (M,) int32, -1 pad
     *,
     cfg: LlamaConfig,
     lenient: bool = False,
@@ -194,11 +245,9 @@ def _prefill(
     dstate["cache"] = cache
     dstate["presence"] = presence
     dstate["lengths"] = dstate["lengths"].at[slot].set(length)
-    dstate["active"] = dstate["active"].at[slot].set(True)
     dstate["last_tokens"] = dstate["last_tokens"].at[slot].set(first)
-    dstate["temp"] = dstate["temp"].at[slot].set(samp[0])
-    dstate["top_p"] = dstate["top_p"].at[slot].set(samp[1])
-    dstate["rep_pen"] = dstate["rep_pen"].at[slot].set(samp[2])
+    dstate = _seed_slot_state(dstate, slot, samp, allowed, is_audio,
+                              custom_stops)
     dstate = _ring_seed(dstate, slot, first, is_audio, lenient)
     return dstate, first
 
@@ -218,6 +267,8 @@ def _prefill_chunk(
     samp: jnp.ndarray,        # (3,) temperature, top_p, repetition_penalty
     key: jax.Array,
     is_audio: jnp.ndarray = False,  # () bool — audio-mode request
+    allowed: jnp.ndarray = 2**30,   # () int32 total generation budget
+    custom_stops: jnp.ndarray = _NO_CUSTOM_STOPS,  # (M,) int32, -1 pad
     *,
     cfg: LlamaConfig,
     hist_bucket: int,
@@ -261,11 +312,9 @@ def _prefill_chunk(
     presence = presence.at[slot, first].set(True)
     dstate["presence"] = presence
     dstate["lengths"] = dstate["lengths"].at[slot].set(offset + length)
-    dstate["active"] = dstate["active"].at[slot].set(True)
     dstate["last_tokens"] = dstate["last_tokens"].at[slot].set(first)
-    dstate["temp"] = dstate["temp"].at[slot].set(samp[0])
-    dstate["top_p"] = dstate["top_p"].at[slot].set(samp[1])
-    dstate["rep_pen"] = dstate["rep_pen"].at[slot].set(samp[2])
+    dstate = _seed_slot_state(dstate, slot, samp, allowed, is_audio,
+                              custom_stops)
     dstate = _ring_seed(dstate, slot, first, is_audio, lenient)
     return dstate, first
 
@@ -315,14 +364,20 @@ def _decode_core(params, dstate, key, gate, cfg: LlamaConfig, attn_impl: str,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "attn_impl", "bucket"), donate_argnums=(1,)
+    jax.jit,
+    static_argnames=("cfg", "attn_impl", "bucket", "stop_ids"),
+    donate_argnums=(1,),
 )
 def _decode(params, dstate, key, gate=None, *, cfg: LlamaConfig,
-            attn_impl: str = "dense", bucket: Optional[int] = None):
+            attn_impl: str = "dense", bucket: Optional[int] = None,
+            stop_ids: Tuple[int, ...] = ()):
     """Advance every active (and ungated) slot by one token."""
     if gate is None:
         gate = jnp.ones(dstate["active"].shape, jnp.bool_)
-    return _decode_core(params, dstate, key, gate, cfg, attn_impl, bucket)
+    dstate, toks = _decode_core(params, dstate, key, gate, cfg, attn_impl,
+                                bucket)
+    dstate = _post_step(dstate, toks, stop_ids)
+    return dstate, toks
 
 
 @functools.partial(
@@ -355,10 +410,7 @@ def _decode_multi(
     def body(dstate, k):
         dstate, toks = _decode_core(params, dstate, k, gate, cfg, attn_impl,
                                     bucket)
-        is_stop = jnp.zeros(toks.shape, bool)
-        for s in stop_ids:
-            is_stop = is_stop | (toks == s)
-        dstate["active"] = dstate["active"] & ~is_stop
+        dstate = _post_step(dstate, toks, stop_ids)
         return dstate, toks
 
     keys = jax.random.split(key, n_steps)
@@ -392,6 +444,10 @@ def _ring_push(dstate, toks, lenient: bool):
     per dispatch (6 leftover + 7 new = 13 < 14).
     """
     valid, code = _audio_code(toks, dstate["audio_pos"], lenient)
+    # text-mode lanes co-batched with audio streams must never enter the
+    # ring: a high-temperature text request can sample in-band ids, which
+    # would advance fcnt and trigger SNAC commits nobody consumes.
+    valid = valid & dstate["is_audio"]
     pcnt = dstate["pcnt"]
     sel = jnp.arange(_FRAME_TOKENS)[None, :] == pcnt[:, None]
     partial = jnp.where(valid[:, None] & sel, code[:, None], dstate["partial"])
@@ -468,10 +524,7 @@ def _decode_audio_multi(
     def body(dstate, k):
         dstate, toks = _decode_core(params, dstate, k, gate, cfg, attn_impl,
                                     bucket)
-        is_stop = jnp.zeros(toks.shape, bool)
-        for s in stop_ids:
-            is_stop = is_stop | (toks == s)
-        dstate["active"] = dstate["active"] & ~is_stop
+        dstate = _post_step(dstate, toks, stop_ids)
         dstate = _ring_push(dstate, toks, lenient)
         return dstate, toks
 
@@ -519,6 +572,11 @@ def _release(dstate, slot_mask: jnp.ndarray):
     dstate = dict(dstate)
     dstate["active"] = jnp.where(slot_mask, False, dstate["active"])
     dstate["lengths"] = jnp.where(slot_mask, 0, dstate["lengths"])
+    dstate["remaining"] = jnp.where(slot_mask, 0, dstate["remaining"])
+    dstate["is_audio"] = jnp.where(slot_mask, False, dstate["is_audio"])
+    dstate["custom_stops"] = jnp.where(
+        slot_mask[:, None], -1, dstate["custom_stops"]
+    )
     dstate["presence"] = jnp.where(
         slot_mask[:, None], False, dstate["presence"]
     )
@@ -572,6 +630,9 @@ class OrpheusEngine:
             "cache": init_kv_cache(model_cfg, B, self.ecfg.max_seq_len, cache_dt),
             "lengths": jnp.zeros((B,), jnp.int32),
             "active": jnp.zeros((B,), jnp.bool_),
+            "remaining": jnp.zeros((B,), jnp.int32),
+            "is_audio": jnp.zeros((B,), jnp.bool_),
+            "custom_stops": jnp.full((B, _MAX_CUSTOM_STOPS), -1, jnp.int32),
             "last_tokens": jnp.zeros((B,), jnp.int32),
             "presence": jnp.zeros((B, Vp), jnp.bool_),
             "temp": jnp.zeros((B,), jnp.float32),
@@ -711,13 +772,6 @@ class OrpheusEngine:
         self._key, sub = jax.random.split(self._key)
         return sub
 
-    def _all_stop_ids(self) -> set:
-        """Union of stop ids across in-flight requests (device-side stops)."""
-        ids = set(self.ecfg.default_stop_ids)
-        for req in self._by_slot.values():
-            ids.update(req.sampling.stop_token_ids)
-        return ids
-
     def _evict(self, slot: int) -> None:
         mask = np.zeros((self.ecfg.max_slots,), bool)
         mask[slot] = True
@@ -758,6 +812,29 @@ class OrpheusEngine:
             )
             ids = ids[-max_prompt:]
         req.ctx_len = len(ids)
+        # Total generation budget, enforced ON DEVICE (_post_step): the
+        # lane deactivates the step it emits its last in-budget token, so
+        # the fused codec ring / SNAC commit frontier can never advance
+        # past the host planner on budget-terminated streams.  _deliver
+        # uses the same number, keeping host and device in lockstep.
+        req.allowed = min(
+            req.sampling.max_tokens,
+            self.ecfg.max_seq_len - margin - req.ctx_len,
+        )
+        custom = [
+            s for s in dict.fromkeys(req.sampling.stop_token_ids)
+            if s not in self.ecfg.default_stop_ids
+        ]
+        if len(custom) > _MAX_CUSTOM_STOPS:
+            logger.warning(
+                "request has %d custom stop ids; device-side early stop "
+                "covers the first %d (the rest are enforced on the host "
+                "with up to one dispatch of wasted tokens)",
+                len(custom), _MAX_CUSTOM_STOPS,
+            )
+            custom = custom[:_MAX_CUSTOM_STOPS]
+        stops = np.full((_MAX_CUSTOM_STOPS,), -1, np.int32)
+        stops[: len(custom)] = custom
         samp = np.asarray(
             [
                 req.sampling.temperature,
@@ -781,6 +858,8 @@ class OrpheusEngine:
                 jnp.asarray(samp),
                 self._split_key(),
                 np.asarray(req.audio),
+                np.asarray(req.allowed, np.int32),
+                stops,
                 cfg=self.cfg,
                 lenient=self.ecfg.lenient_audio_codes,
             )
@@ -795,7 +874,7 @@ class OrpheusEngine:
             # dispatches one chunk now and at most one more per frame
             self._prefill_jobs.append(
                 {"req": req, "slot": slot, "ids": list(ids), "samp": samp,
-                 "offset": 0}
+                 "offset": 0, "stops": stops}
             )
             self._advance_prefill()
 
@@ -861,6 +940,8 @@ class OrpheusEngine:
                 samp_arr,
                 self._split_key(),
                 np.asarray(req.audio),
+                np.asarray(req.allowed, np.int32),
+                job["stops"],
                 cfg=self.cfg,
                 hist_bucket=self._hist_bucket(offset + bucket),
                 sample=True,
@@ -881,22 +962,10 @@ class OrpheusEngine:
             )
         req.generated += 1
         hit_stop = token in stop_ids
-        # Evict with enough headroom that frames already dispatched (or about
-        # to be, under pipelining) can't write past max_seq_len: up to
-        # steps_per_sync * frames_per_dispatch - 1 tokens remain in the
-        # dispatch being processed plus one dispatch in flight per pipeline
-        # level, plus one token for a first-token readback still pending
-        # under async admission.
-        margin = (
-            self.steps_per_sync
-            * self.frames_per_dispatch
-            * (1 + max(self.ecfg.pipeline_depth, 0))
-            + 1
-        )
-        out_of_budget = (
-            req.generated >= req.sampling.max_tokens
-            or req.generated + req.ctx_len >= self.ecfg.max_seq_len - margin
-        )
+        # The device enforces the same budget (_post_step countdown seeded
+        # with req.allowed at admission), so generation and the fused codec
+        # ring halt in lockstep with this host-side check.
+        out_of_budget = req.generated >= req.allowed
         if not hit_stop:
             req.token_queue.put_nowait(token)
         if hit_stop or out_of_budget:
@@ -972,11 +1041,10 @@ class OrpheusEngine:
         the codec entirely.
         """
         n = self.steps_per_sync
-        # device-side early stop over the union of default + in-flight
-        # per-request stop ids.  The union is a static arg, so a novel
-        # custom stop set costs one extra compile; the common case (all
-        # requests on defaults) reuses a single program.
-        stop_ids = tuple(sorted(self._all_stop_ids()))
+        # device-side early stop: engine-wide default ids are a static arg
+        # (one program, never recompiles); per-request custom stop ids ride
+        # the per-slot custom_stops device array seeded at admission.
+        stop_ids = tuple(sorted(self.ecfg.default_stop_ids))
         audio_reqs = [r for r in self._by_slot.values() if r.audio]
         if self._codec is not None and audio_reqs:
             # adaptive frame batching: pay the per-dispatch readback tax
@@ -1038,6 +1106,7 @@ class OrpheusEngine:
                 cfg=self.cfg,
                 attn_impl=self._attn_for(bucket),
                 bucket=bucket,
+                stop_ids=stop_ids,
             )
         return (toks, None, None), dict(self._by_slot)
 

@@ -31,6 +31,10 @@ class Request:
     slot: Optional[int] = None
     generated: int = 0
     ctx_len: int = 0  # prompt tokens actually written at prefill (clamped)
+    # total generation budget (max_tokens clamped by context headroom),
+    # fixed at admission and enforced BOTH host-side (_deliver) and
+    # device-side (engine._post_step countdown) so they stay in lockstep
+    allowed: int = 1 << 30
     # Unbounded: the device never blocks on a slow consumer; backpressure
     # is applied by the orchestrator's pull loop instead.
     token_queue: "asyncio.Queue[Optional[int]]" = field(

@@ -187,6 +187,9 @@ def engine_state_shardings(mesh: Mesh, quantized_cache: bool = False,
         "cache": kv_cache_shardings(mesh, quantized_cache),
         "lengths": slot,
         "active": slot,
+        "remaining": slot,
+        "is_audio": slot,
+        "custom_stops": _ns(mesh, "data", None),
         "last_tokens": slot,
         "presence": _ns(mesh, "data", None),
         "temp": slot,

@@ -344,3 +344,61 @@ def test_long_admission_interleaves_chunks_with_frames(params, cfg, monkeypatch)
             f"prefill chunks at {a} and {b} dispatched with no decode "
             f"frame between them: {events}"
         )
+
+
+def test_custom_stop_is_per_request(params, cfg):
+    """One request's custom stop id must stop THAT request only.
+
+    The former device-side static stop-id *union* deactivated any lane
+    sampling any in-flight request's stop id; the per-slot custom_stops
+    device array keeps lanes independent.  Greedy sampling makes the
+    traces deterministic: request B (no custom stops) must produce the
+    identical trace whether or not request A declares B's tokens as stops.
+    """
+    sp_free = SamplingParams(temperature=0.0, max_tokens=8, stop_token_ids=())
+
+    async def run_pair(stop_for_a):
+        eng = _engine(params, cfg)
+        ra = await eng.submit(
+            [3, 11],
+            SamplingParams(
+                temperature=0.0, max_tokens=8, stop_token_ids=stop_for_a
+            ),
+        )
+        rb = await eng.submit([3, 12], sp_free)
+        ta = [t async for t in ra.tokens()]
+        tb = [t async for t in rb.tokens()]
+        await eng.close()
+        return ta, tb
+
+    # baseline traces with no custom stops anywhere
+    ta0, tb0 = _run(run_pair(()))
+    assert len(tb0) >= 2
+    # A declares B's second token as a custom stop: B must be unaffected,
+    # and A must stop early IF it ever samples that id (it may not).
+    ta1, tb1 = _run(run_pair((tb0[1],)))
+    assert tb1 == tb0, "custom stop of request A leaked into request B"
+    if tb0[1] in ta0:
+        cut = ta0.index(tb0[1])
+        assert ta1 == ta0[:cut], "A did not stop at its own custom stop id"
+
+
+def test_device_budget_caps_generation_exactly(params, cfg):
+    """max_tokens is enforced on device (_post_step countdown): the token
+    stream carries exactly max_tokens ids when no stop id fires."""
+    async def go():
+        eng = _engine(params, cfg)
+        # default stop id 7 excluded by sampling greedily from a prompt
+        # whose greedy continuation avoids it — retry over temperatures
+        sp = SamplingParams(temperature=0.9, max_tokens=9, stop_token_ids=())
+        reqs = [await eng.submit([5, 9 + i], sp) for i in range(3)]
+        outs = [[t async for t in r.tokens()] for r in reqs]
+        await eng.close()
+        return outs
+
+    outs = _run(go())
+    for toks in outs:
+        # stop id 7 may cut a trace short; never longer than the budget
+        assert len(toks) <= 9
+        if 7 not in toks:
+            assert len(toks) == 9

@@ -123,6 +123,9 @@ def test_engine_state_shardings_cover_dstate(cfg):
         "cache": init_kv_cache(cfg, B, 16, dtype=jnp.float32),
         "lengths": jnp.zeros((B,), jnp.int32),
         "active": jnp.zeros((B,), bool),
+        "remaining": jnp.zeros((B,), jnp.int32),
+        "is_audio": jnp.zeros((B,), bool),
+        "custom_stops": jnp.full((B, 8), -1, jnp.int32),
         "last_tokens": jnp.zeros((B,), jnp.int32),
         "presence": jnp.zeros((B, cfg.padded_vocab), bool),
         "temp": jnp.zeros((B,), jnp.float32),
@@ -261,3 +264,68 @@ def test_engine_tp_int8_matches_unsharded():
     base = asyncio.run(run(None))
     tp = asyncio.run(run(make_mesh(model=2, devices=jax.devices()[:4])))
     assert base == tp, f"TP int8 trace {tp} != unsharded {base}"
+
+
+def test_engine_mesh_audio_fused_matches_unsharded():
+    """The fused frame program (decode + device code ring + batched SNAC
+    hop) on a data-sharded mesh must emit byte-identical PCM to the
+    unsharded engine: the DP-sharded ring state and the sharded
+    snac_stream_body interaction had no mesh coverage (advisor r3)."""
+    import asyncio
+
+    import jax
+    import jax.numpy as jnp
+
+    from project_morpheus_tpu.codec import SNACConfig, init_snac_params
+    from project_morpheus_tpu.engine import EngineConfig, OrpheusEngine
+    from project_morpheus_tpu.model import LlamaConfig, init_llama_params
+    from project_morpheus_tpu.model.sampling import SamplingParams
+    from project_morpheus_tpu.parallel import make_mesh
+
+    cfg = LlamaConfig.tiny()
+    params = init_llama_params(cfg, jax.random.key(2), dtype=jnp.float32)
+    # steer greedy decoding into the audio band so the ring carries codes
+    lo = 128_266
+    params["embed"] = params["embed"].at[lo : lo + 7 * 4096].multiply(10.0)
+    snac_cfg = SNACConfig.tiny()
+    snac_params = init_snac_params(snac_cfg, seed=1)
+
+    async def run(mesh):
+        eng = OrpheusEngine(
+            params,
+            cfg,
+            EngineConfig(
+                max_slots=2,
+                max_seq_len=256,
+                prefill_buckets=(16, 32),
+                steps_per_sync=7,
+                frames_per_dispatch=2,
+                lenient_audio_codes=True,
+                default_stop_ids=(),
+            ),
+            codec=(snac_params, snac_cfg),
+            mesh=mesh,
+            seed=7,
+        )
+        sp = SamplingParams(temperature=0.0, max_tokens=64, stop_token_ids=())
+        req = await eng.submit([128259, 72, 128260], sp, audio=True)
+        toks, pcm = [], []
+
+        async def drain_tokens():
+            async for t in req.tokens():
+                toks.append(t)
+
+        async def drain_pcm():
+            async for c in req.pcm_chunks():
+                pcm.append(c)
+
+        await asyncio.gather(drain_tokens(), drain_pcm())
+        await eng.close()
+        return toks, b"".join(pcm)
+
+    mesh = make_mesh(model=1, devices=jax.devices()[:2])  # data=2
+    toks_m, pcm_m = asyncio.run(run(mesh))
+    toks_u, pcm_u = asyncio.run(run(None))
+    assert toks_m == toks_u, "greedy traces diverged across mesh postures"
+    assert len(pcm_m) > 0
+    assert pcm_m == pcm_u, "mesh-sharded fused PCM != unsharded fused PCM"
