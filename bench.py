@@ -214,17 +214,25 @@ def main() -> None:
         )
 
     async def bench_engine(engine, row_list, cadence_long_ctx=None):
+        # Pre-compile EVERY program the measured rows can reach — including
+        # context buckets first crossed mid-row (the r3 headline measured a
+        # 40 s XLA compile inside the ctx-512 row's wall because warmup
+        # only generated 14 tokens and never left the starting bucket).
+        lens = [ctx for ctx, _ in row_list]
+        max_new = max((t for _, t in row_list), default=0)
+        if cadence_long_ctx:
+            lens += [512, cadence_long_ctx]
+            max_new = max(max_new, 560)
+        engine.warmup(prompt_lens=lens, max_new_tokens=max_new)
         out_rows = []
         for ctx, max_toks in row_list:
-            # warmup compiles every program the measured run uses
+            # one short pass warms the host paths (planner, asyncio, numpy)
             await _run_row(engine, n_streams, ctx, warm_tokens, SamplingParams)
             out_rows.append(
                 await _run_row(engine, n_streams, ctx, max_toks, SamplingParams)
             )
         cad = None
         if cadence_long_ctx:
-            # warm the short-ctx programs the live streams need
-            await _run_row(engine, n_streams, 512, warm_tokens, SamplingParams)
             cad = await _run_cadence_probe(
                 engine, n_streams - 1, 512,
                 cadence_long_ctx, 560, SamplingParams,
@@ -295,7 +303,8 @@ def main() -> None:
     async def run_bf16(engine):
         # one event loop for the engine's whole life (its wakeup Event
         # binds to the first loop that awaits it)
-        await bench_single(engine, reps=1)   # warm the short-prompt programs
+        engine.warmup(prompt_lens=[48], max_new_tokens=70)
+        await bench_single(engine, reps=1)   # warm the host paths
         single = await bench_single(engine)
         # warm the server path before measuring TTFB (compiles are not TTFB)
         http = await bench_http(engine)

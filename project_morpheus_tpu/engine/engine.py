@@ -95,13 +95,15 @@ class EngineConfig:
     # the engine drops back to 1 frame/dispatch whenever any live audio
     # stream is still waiting for its first hop, keeping TTFA unchanged.
     frames_per_dispatch: int = 0
-    # Frames in flight beyond the one being processed.  0 (default): the
-    # loop reads each frame's results before dispatching the next — on the
-    # axon tunnel readbacks serialise behind queued programs, so depth 1
-    # made every iteration wait TWO frame-times (measured 101 vs 87 ms per
-    # iteration at ctx 512).  The fused audio program (_decode_audio_multi)
-    # plus depth 0 costs exactly one frame + one readback per iteration.
-    pipeline_depth: int = 0
+    # The serving loop keeps ONE frame in flight: it dispatches frame N,
+    # issues frame N's readback from a worker thread, and only then
+    # processes frame N-1's (already fetched) results.  Readbacks wait for
+    # everything queued at their ISSUE time — so a readback issued BEFORE
+    # the next dispatch overlaps that dispatch's device execution, hiding
+    # the tunnel's ~26 ms per-readback tax entirely (probe: 68.5 ->
+    # 44.3 ms/iter; scripts/probe_overlap.py).  The r2 "dispatch-ahead"
+    # pipeline issued the read AFTER the next dispatch and lost; issue
+    # order, not dispatch depth, is what matters on this transport.
     # Backpressure: a slot whose consumer queue is this deep is gated out of
     # decode dispatches (its KV slot is kept; generation resumes when the
     # consumer drains).  A stalled client therefore buffers at most
@@ -150,7 +152,8 @@ def _ring_seed(dstate, slot, tok, is_audio, lenient: bool):
     return dstate
 
 
-def _seed_slot_state(dstate, slot, samp, allowed, is_audio, custom_stops):
+def _seed_slot_state(dstate, slot, samp, allowed, is_audio, custom_stops,
+                     rng_next):
     """Per-slot serving state written at admission.
 
     ``allowed`` is the request's TOTAL generation budget (max_tokens
@@ -170,6 +173,10 @@ def _seed_slot_state(dstate, slot, samp, allowed, is_audio, custom_stops):
     dstate["remaining"] = dstate["remaining"].at[slot].set(allowed - 1)
     dstate["is_audio"] = dstate["is_audio"].at[slot].set(is_audio)
     dstate["custom_stops"] = dstate["custom_stops"].at[slot].set(custom_stops)
+    kd = jax.random.key_data
+    dstate["rng"] = jax.random.wrap_key_data(
+        kd(dstate["rng"]).at[slot].set(kd(rng_next))
+    )
     return dstate
 
 
@@ -230,9 +237,10 @@ def _prefill(
     row = row.at[tokens[0]].set(jnp.where(mask[0], True, row[tokens[0]]))
     presence = presence.at[slot].set(row)
 
+    use, nxt = jax.random.split(key)
     first = sample_logits(
         last_logits,
-        key,
+        use,
         temperature=samp[0][None],
         top_p=samp[1][None],
         repetition_penalty=samp[2][None],
@@ -247,7 +255,7 @@ def _prefill(
     dstate["lengths"] = dstate["lengths"].at[slot].set(length)
     dstate["last_tokens"] = dstate["last_tokens"].at[slot].set(first)
     dstate = _seed_slot_state(dstate, slot, samp, allowed, is_audio,
-                              custom_stops)
+                              custom_stops, nxt)
     dstate = _ring_seed(dstate, slot, first, is_audio, lenient)
     return dstate, first
 
@@ -300,9 +308,10 @@ def _prefill_chunk(
         dstate["presence"] = presence
         return dstate, jnp.zeros((), jnp.int32) - 1
 
+    use, nxt = jax.random.split(key)
     first = sample_logits(
         logits[None],
-        key,
+        use,
         temperature=samp[0][None],
         top_p=samp[1][None],
         repetition_penalty=samp[2][None],
@@ -314,18 +323,24 @@ def _prefill_chunk(
     dstate["lengths"] = dstate["lengths"].at[slot].set(offset + length)
     dstate["last_tokens"] = dstate["last_tokens"].at[slot].set(first)
     dstate = _seed_slot_state(dstate, slot, samp, allowed, is_audio,
-                              custom_stops)
+                              custom_stops, nxt)
     dstate = _ring_seed(dstate, slot, first, is_audio, lenient)
     return dstate, first
 
 
-def _decode_core(params, dstate, key, gate, cfg: LlamaConfig, attn_impl: str,
+def _decode_core(params, dstate, gate, cfg: LlamaConfig, attn_impl: str,
                  bucket: Optional[int] = None):
     """One decode+sample step over the slot table (shared by both jits).
 
     ``gate`` (B,) bool is the per-dispatch backpressure mask: gated-off
     slots neither advance nor emit (toks read -1) but keep their device
     state — unlike ``active``, which is persistent slot liveness.
+
+    Sampling draws from each slot's OWN key chain (``dstate["rng"]``,
+    seeded at admission), advanced only on steps where the lane emits —
+    so a seeded request's trace is a pure function of (seed, prompt,
+    sampling params), independent of co-batched traffic, backpressure
+    gating or dispatch scheduling.
     """
     active = dstate["active"] & gate
     logits, cache = llama_decode_step(
@@ -338,9 +353,10 @@ def _decode_core(params, dstate, key, gate, cfg: LlamaConfig, attn_impl: str,
         attn_impl=attn_impl,
         bucket=bucket,
     )
+    pair = jax.vmap(lambda k: jax.random.split(k))(dstate["rng"])  # (B, 2)
     toks = sample_logits(
         logits,
-        key,
+        pair[:, 0],
         temperature=dstate["temp"],
         top_p=dstate["top_p"],
         repetition_penalty=dstate["rep_pen"],
@@ -360,6 +376,10 @@ def _decode_core(params, dstate, key, gate, cfg: LlamaConfig, attn_impl: str,
     dstate["presence"] = presence
     dstate["lengths"] = dstate["lengths"] + active.astype(jnp.int32)
     dstate["last_tokens"] = jnp.where(active, toks, dstate["last_tokens"])
+    kd = jax.random.key_data
+    dstate["rng"] = jax.random.wrap_key_data(
+        jnp.where(active[..., None], kd(pair[:, 1]), kd(dstate["rng"]))
+    )
     return dstate, jnp.where(active, toks, -1)
 
 
@@ -368,13 +388,13 @@ def _decode_core(params, dstate, key, gate, cfg: LlamaConfig, attn_impl: str,
     static_argnames=("cfg", "attn_impl", "bucket", "stop_ids"),
     donate_argnums=(1,),
 )
-def _decode(params, dstate, key, gate=None, *, cfg: LlamaConfig,
+def _decode(params, dstate, gate=None, *, cfg: LlamaConfig,
             attn_impl: str = "dense", bucket: Optional[int] = None,
             stop_ids: Tuple[int, ...] = ()):
     """Advance every active (and ungated) slot by one token."""
     if gate is None:
         gate = jnp.ones(dstate["active"].shape, jnp.bool_)
-    dstate, toks = _decode_core(params, dstate, key, gate, cfg, attn_impl,
+    dstate, toks = _decode_core(params, dstate, gate, cfg, attn_impl,
                                 bucket)
     dstate = _post_step(dstate, toks, stop_ids)
     return dstate, toks
@@ -388,7 +408,6 @@ def _decode(params, dstate, key, gate=None, *, cfg: LlamaConfig,
 def _decode_multi(
     params,
     dstate,
-    key,
     gate=None,
     *,
     cfg: LlamaConfig,
@@ -407,14 +426,13 @@ def _decode_multi(
     if gate is None:
         gate = jnp.ones(dstate["active"].shape, jnp.bool_)
 
-    def body(dstate, k):
-        dstate, toks = _decode_core(params, dstate, k, gate, cfg, attn_impl,
+    def body(dstate, _):
+        dstate, toks = _decode_core(params, dstate, gate, cfg, attn_impl,
                                     bucket)
         dstate = _post_step(dstate, toks, stop_ids)
         return dstate, toks
 
-    keys = jax.random.split(key, n_steps)
-    dstate, toks = jax.lax.scan(body, dstate, keys)
+    dstate, toks = jax.lax.scan(body, dstate, None, length=n_steps)
     return dstate, toks  # toks (n_steps, B)
 
 
@@ -479,7 +497,6 @@ def _decode_audio_multi(
     dstate,
     snac_params,
     snac_state,
-    key,
     gate=None,
     *,
     cfg: LlamaConfig,
@@ -521,8 +538,8 @@ def _decode_audio_multi(
     if gate is None:
         gate = jnp.ones(dstate["active"].shape, jnp.bool_)
 
-    def body(dstate, k):
-        dstate, toks = _decode_core(params, dstate, k, gate, cfg, attn_impl,
+    def body(dstate, _):
+        dstate, toks = _decode_core(params, dstate, gate, cfg, attn_impl,
                                     bucket)
         dstate = _post_step(dstate, toks, stop_ids)
         dstate = _ring_push(dstate, toks, lenient)
@@ -531,11 +548,11 @@ def _decode_audio_multi(
     B = dstate["active"].shape[0]
     fs = snac_cfg.frame_samples
 
-    def frame_phase(carry, keys7):
+    def frame_phase(carry, _):
         dstate, snac_state = carry
         dstate = dict(dstate)
         dstate["frame_done"] = jnp.zeros_like(dstate["frame_done"])
-        dstate, toks = jax.lax.scan(body, dstate, keys7)
+        dstate, toks = jax.lax.scan(body, dstate, None, length=n_steps)
 
         done = dstate["frame_done"]
         fcnt = dstate["fcnt"]
@@ -556,11 +573,8 @@ def _decode_audio_multi(
         pcm = jnp.where(emit[:, None], pcm, 0)
         return (dstate, snac_state), (toks, pcm, emit)
 
-    keys = jax.random.split(key, n_frames * n_steps).reshape(
-        n_frames, n_steps
-    )
     (dstate, snac_state), (toks, pcm, emit) = jax.lax.scan(
-        frame_phase, (dstate, snac_state), keys
+        frame_phase, (dstate, snac_state), None, length=n_frames
     )
     toks = toks.reshape(n_frames * n_steps, B)
     return dstate, snac_state, toks, pcm, emit
@@ -633,6 +647,9 @@ class OrpheusEngine:
             "remaining": jnp.zeros((B,), jnp.int32),
             "is_audio": jnp.zeros((B,), jnp.bool_),
             "custom_stops": jnp.full((B, _MAX_CUSTOM_STOPS), -1, jnp.int32),
+            # per-slot sampling key chains; reseeded at every admission
+            # (SamplingParams.seed or a draw from the engine stream)
+            "rng": jax.random.split(jax.random.key(seed), B),
             "last_tokens": jnp.zeros((B,), jnp.int32),
             "presence": jnp.zeros((B, Vp), jnp.bool_),
             "temp": jnp.zeros((B,), jnp.float32),
@@ -710,6 +727,16 @@ class OrpheusEngine:
         # <= 1 chunk-time of cadence per frame instead of ~6 back-to-back
         # chunk programs stalling co-batched streams
         self._prefill_jobs: List[dict] = []
+        # Dedicated readback workers: the frame readback and any flush-hop
+        # readbacks must ENTER the tunnel promptly and in issue order (a
+        # shared default executor could delay one behind unrelated work,
+        # and a late-issued readback waits for every program dispatched
+        # in the meantime).  Two in-flight reads (frame + hops) suffice.
+        import concurrent.futures
+
+        self._readback_pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=2, thread_name_prefix="engine-readback"
+        )
         self._pending: "asyncio.Queue[Request]" = asyncio.Queue()
         self._wake = asyncio.Event()
         self._task: Optional[asyncio.Task] = None
@@ -721,6 +748,150 @@ class OrpheusEngine:
     @property
     def supports_audio(self) -> bool:
         return self._codec is not None
+
+    def warmup(self, prompt_lens: Sequence[int] = (),
+               max_new_tokens: int = 0) -> int:
+        """Pre-compile every serving program reachable for the given
+        workload: prefill buckets, chunked-prefill (chunk, history-bucket)
+        programs, the decode frame program for every context bucket a
+        stream can traverse while generating ``max_new_tokens`` — at both
+        frame-batching factors the adaptive dispatcher uses — plus the
+        end-of-stream flush-hop codec program and the slot-release program.
+
+        Serving latency must never include an XLA compile: a context
+        bucket first crossed mid-stream would otherwise freeze every
+        co-batched stream for the compile's duration (the r3 bench's
+        ctx-512 row crossed into a cold bucket mid-row and spent ~40 s of
+        its measured wall compiling).  vLLM warms its CUDA graphs at
+        startup for the same reason.
+
+        Runs each program once on the live (idle) slot table with every
+        lane inactive — compute is dispatched but no slot state survives:
+        all slots are released afterwards.  Call before serving traffic,
+        never with requests in flight.  Returns the number of programs
+        exercised.
+        """
+        assert not self._by_slot and self._pending.empty(), (
+            "warmup must run on an idle engine"
+        )
+        stop_ids = tuple(sorted(self.ecfg.default_stop_ids))
+        # arg construction mirrors _admit exactly — a dtype/weak-type
+        # mismatch would trace a different (uncached) program
+        samp = jnp.asarray(np.asarray([0.6, 0.9, 1.1], np.float32))
+        slot0 = jnp.asarray(0, jnp.int32)
+        is_audio = np.asarray(False)
+        no_budget = np.asarray(1, np.int32)  # lane stays inactive
+        stops = np.full((_MAX_CUSTOM_STOPS,), -1, np.int32)
+        # serving always passes the gate as a (B,) bool ARRAY; warming with
+        # None would trace a structurally different (uncached) program
+        gate = jnp.ones((self.ecfg.max_slots,), jnp.bool_)
+        key = jax.random.key(0)
+        n = self.steps_per_sync
+        k_max = self.frames_per_dispatch
+        top_bucket = max(self.ecfg.prefill_buckets)
+        cbuckets = sorted(
+            b for b in self.ecfg.context_buckets if b <= self.ecfg.max_seq_len
+        )
+        programs = 0
+
+        prefill_buckets = set()
+        chunk_programs = set()  # (chunk_len_bucket, hist_bucket, sample)
+        decode_programs = set()  # (bucket, k)
+        for L in prompt_lens:
+            L = min(L, self.ecfg.max_seq_len - 4)
+            if L <= top_bucket:
+                prefill_buckets.add(_bucket_for(L, self.ecfg.prefill_buckets))
+            else:
+                chunk = self.ecfg.prefill_chunk
+                n_full = (L - 1) // chunk
+                for ci in range(n_full):
+                    chunk_programs.add(
+                        (chunk, self._hist_bucket((ci + 1) * chunk), False)
+                    )
+                rest = L - n_full * chunk
+                rb = _bucket_for(rest, self.ecfg.prefill_buckets)
+                chunk_programs.add(
+                    (rb, self._hist_bucket(n_full * chunk + rb), True)
+                )
+            lag = n + n * k_max + 2
+            start = min(L + lag, self.ecfg.max_seq_len)
+            end = min(L + max_new_tokens + lag, self.ecfg.max_seq_len)
+            ks = sorted({1, k_max})
+            for b in cbuckets:
+                if b >= start:
+                    for k in ks:
+                        decode_programs.add((b, k))
+                if b >= end:
+                    break
+
+        for b in sorted(prefill_buckets):
+            self.dstate, _ = _prefill(
+                self.params, self.dstate,
+                jnp.asarray(np.zeros((1, b), np.int32)),
+                jnp.asarray(1, jnp.int32),
+                slot0, samp, key, is_audio, no_budget, stops,
+                cfg=self.cfg, lenient=self.ecfg.lenient_audio_codes,
+            )
+            programs += 1
+        for clen, hb, sample in sorted(chunk_programs):
+            self.dstate, _ = _prefill_chunk(
+                self.params, self.dstate,
+                jnp.asarray(np.zeros((clen,), np.int32)),
+                jnp.asarray(1, jnp.int32),
+                jnp.asarray(0, jnp.int32), slot0, samp, key,
+                is_audio, no_budget, stops,
+                cfg=self.cfg, hist_bucket=hb, sample=sample,
+                lenient=self.ecfg.lenient_audio_codes,
+            )
+            programs += 1
+        for b, k in sorted(decode_programs, key=lambda t: (t[0] or 0, t[1])):
+            if self._codec is not None:
+                snac_params, snac_cfg = self._codec
+                (self.dstate, self._snac_state, *_rest) = _decode_audio_multi(
+                    self.params, self.dstate, snac_params, self._snac_state,
+                    gate, cfg=self.cfg, snac_cfg=snac_cfg,
+                    attn_impl=self._attn_for(b), n_steps=n,
+                    stop_ids=stop_ids, bucket=b,
+                    lenient=self.ecfg.lenient_audio_codes, n_frames=k,
+                )
+            elif n > 1:
+                self.dstate, _ = _decode_multi(
+                    self.params, self.dstate, gate, cfg=self.cfg,
+                    attn_impl=self._attn_for(b), n_steps=n,
+                    stop_ids=stop_ids, bucket=b,
+                )
+            else:
+                self.dstate, _ = _decode(
+                    self.params, self.dstate, gate, cfg=self.cfg,
+                    attn_impl=self._attn_for(b), bucket=b, stop_ids=stop_ids,
+                )
+            programs += 1
+        if self._codec is not None and prompt_lens:
+            from ..codec.stream_decode import (
+                FRAME_TOKENS,
+                WINDOW_FRAMES,
+                snac_stream_step,
+            )
+
+            snac_params, snac_cfg = self._codec
+            B = self.ecfg.max_slots
+            _, self._snac_state = snac_stream_step(
+                snac_params,
+                jnp.zeros((B, WINDOW_FRAMES * FRAME_TOKENS), jnp.int32),
+                self._snac_state,
+                jnp.zeros((B,), bool),
+                cfg=snac_cfg,
+            )
+            programs += 1
+        # wipe every trace of the warmup from the slot table (presence
+        # rows, lengths, rings); KV garbage at position 0 is overwritten
+        # by the next prefill into a slot before anything can read it
+        self.dstate = _release(
+            self.dstate, jnp.ones((self.ecfg.max_slots,), bool)
+        )
+        # one tiny readback so warmup returns only after all programs ran
+        jax.device_get(self.dstate["active"])
+        return programs
 
     async def submit(
         self,
@@ -761,6 +932,7 @@ class OrpheusEngine:
         self._wake.set()
         if self._task is not None:
             await self._task
+        self._readback_pool.shutdown(wait=False)
 
     # ------------------------------------------------------------ internals
 
@@ -795,15 +967,13 @@ class OrpheusEngine:
             self._snac_state = reset_lanes(self._snac_state, jnp.asarray(mask))
 
         ids = req.prompt_ids
-        # a prompt may fill the context up to the generation-safety margin;
+        # a prompt may fill the context up to a small safety margin;
         # anything beyond keeps its most recent tokens (reference n_ctx
-        # semantics: llama_local.py:45-46 — but no silent //2 truncation)
-        margin = (
-            self.steps_per_sync
-            * self.frames_per_dispatch
-            * (1 + max(self.ecfg.pipeline_depth, 0))
-            + 1
-        )
+        # semantics: llama_local.py:45-46 — but no silent //2 truncation).
+        # The margin no longer scales with frames in flight: the DEVICE
+        # deactivates a lane the step its budget runs out (_post_step), so
+        # no dispatched frame can ever write past ctx_len + allowed.
+        margin = 2
         max_prompt = self.ecfg.max_seq_len - margin - 2
         if len(ids) > max_prompt:
             logger.warning(
@@ -835,6 +1005,13 @@ class OrpheusEngine:
             custom = custom[:_MAX_CUSTOM_STOPS]
         stops = np.full((_MAX_CUSTOM_STOPS,), -1, np.int32)
         stops[: len(custom)] = custom
+        # the admission key seeds the slot's whole sampling chain: a
+        # seeded request replays its exact trace on any engine, under any
+        # co-batch (the adapter descriptor advertises supports_seed)
+        if req.sampling.seed is not None:
+            req_key = jax.random.key(np.uint32(req.sampling.seed))
+        else:
+            req_key = self._split_key()
         samp = np.asarray(
             [
                 req.sampling.temperature,
@@ -856,7 +1033,7 @@ class OrpheusEngine:
                 jnp.asarray(len(ids), jnp.int32),
                 jnp.asarray(slot, jnp.int32),
                 jnp.asarray(samp),
-                self._split_key(),
+                req_key,
                 np.asarray(req.audio),
                 np.asarray(req.allowed, np.int32),
                 stops,
@@ -874,7 +1051,7 @@ class OrpheusEngine:
             # dispatches one chunk now and at most one more per frame
             self._prefill_jobs.append(
                 {"req": req, "slot": slot, "ids": list(ids), "samp": samp,
-                 "offset": 0, "stops": stops}
+                 "offset": 0, "stops": stops, "key": req_key}
             )
             self._advance_prefill()
 
@@ -938,7 +1115,7 @@ class OrpheusEngine:
                 jnp.asarray(offset, jnp.int32),
                 slot_arr,
                 samp_arr,
-                self._split_key(),
+                job["key"],
                 np.asarray(req.audio),
                 np.asarray(req.allowed, np.int32),
                 job["stops"],
@@ -979,20 +1156,19 @@ class OrpheusEngine:
         the end of the next ``n_steps``-token dispatch."""
         if not self._by_slot:
             return None
-        # host-side counts lag the device by the in-flight frames (plus one
-        # token for a pending async-admission first readback), so cover the
-        # pipeline depth too
+        # host-side counts lag the device by up to one dispatched-but-
+        # unprocessed frame (the overlap pipeline) plus one token for a
+        # pending async-admission first readback; add this dispatch's own
+        # steps on top.  The device-side budget countdown guarantees no
+        # lane ever writes past ctx_len + allowed <= max_seq_len - 2, so
+        # the estimate only needs clamping, never an eviction check.
         need = (
             max(r.ctx_len + r.generated for r in self._by_slot.values())
-            + n_steps * (1 + max(self.ecfg.pipeline_depth, 0))
+            + n_steps
+            + self.steps_per_sync * self.frames_per_dispatch
             + 2
         )
-        # device-write safety: the margin-based eviction in _deliver keeps
-        # every live length below max_seq_len even with frames in flight
-        assert need <= self.ecfg.max_seq_len, (
-            f"live context {need} exceeds max_seq_len "
-            f"{self.ecfg.max_seq_len}; budget eviction failed"
-        )
+        need = min(need, self.ecfg.max_seq_len)
         for b in sorted(self.ecfg.context_buckets):
             if b >= need and b <= self.ecfg.max_seq_len:
                 return b
@@ -1071,7 +1247,6 @@ class OrpheusEngine:
                     self.dstate,
                     snac_params,
                     self._snac_state,
-                    self._split_key(),
                     gate,
                     cfg=self.cfg,
                     snac_cfg=snac_cfg,
@@ -1089,7 +1264,6 @@ class OrpheusEngine:
             self.dstate, toks = _decode_multi(
                 self.params,
                 self.dstate,
-                self._split_key(),
                 gate,
                 cfg=self.cfg,
                 attn_impl=self._attn_for(bucket),
@@ -1101,7 +1275,6 @@ class OrpheusEngine:
             self.dstate, toks = _decode(
                 self.params,
                 self.dstate,
-                self._split_key(),
                 gate,
                 cfg=self.cfg,
                 attn_impl=self._attn_for(bucket),
@@ -1259,18 +1432,30 @@ class OrpheusEngine:
         for req in finished_audio:
             self._pending_audio.append(("eos", req))
 
+    async def _settle(self, inflight) -> None:
+        """Await a frame's (already issued) readback and route its results."""
+        payload, slot_map, firsts, fut = inflight
+        host_out = await fut
+        self._process_frame(payload, slot_map, firsts, host_out)
+
+    async def _drain(self, inflight):
+        if inflight is not None:
+            await self._settle(inflight)
+        return None
+
     async def _run(self) -> None:
-        # One frame iteration = ONE dispatch + ONE host-blocking readback.
-        # The axon/TPU tunnel charges ~25-40 ms per readback and serialises
-        # readbacks behind queued programs, so the r2 "software pipeline"
-        # (dispatch N+1, then read N) made every readback wait out the next
-        # frame too — measured 101 ms vs 87 ms per iteration at ctx 512,
-        # and three readbacks per iteration (tokens, PCM, firsts) sat in
-        # the loop.  Now the fused frame program returns tokens + PCM +
-        # pending first tokens in a single device_get, issued BEFORE the
-        # next dispatch and awaited off-thread so HTTP handlers and
-        # consumers keep running during the frame's device time.
+        # Overlap pipeline: each iteration dispatches frame N, issues its
+        # readback from the dedicated worker pool, and only then processes
+        # frame N-1's (already fetched) results while N runs on device.
+        # On the axon/TPU tunnel a readback waits for everything queued at
+        # its ISSUE time — so issuing the read BEFORE the next dispatch
+        # hides both the ~26 ms per-readback tax and the host routing
+        # behind device execution (scripts/probe_overlap.py: 68.5 ->
+        # 44.3 ms/iter on a 44 ms program).  The r2 "dispatch-ahead"
+        # pipeline issued reads AFTER the next dispatch and lost a full
+        # frame per readback; issue order is what matters, not depth.
         loop = asyncio.get_running_loop()
+        inflight = None  # (payload, slot snapshot, firsts, readback future)
         while not self._closed:
             # admit at most ONE request per iteration: the first stream of
             # an arrival burst gets its first frame after its own prefill
@@ -1282,32 +1467,35 @@ class OrpheusEngine:
                     self._admit(req)
 
             if not self._by_slot:
+                inflight = await self._drain(inflight)
+                if self._by_slot or not self._pending.empty():
+                    continue  # settling surfaced new work
                 self._flush_first_tokens()  # all-cancelled edge: drop stale
-                self._flush_audio()
-                if self._pending.empty():
-                    self._wake.clear()
-                    try:
-                        await asyncio.wait_for(self._wake.wait(), timeout=0.5)
-                    except asyncio.TimeoutError:
-                        if self._closed:
-                            break
+                await self._flush_audio()
+                self._wake.clear()
+                try:
+                    await asyncio.wait_for(self._wake.wait(), timeout=0.5)
+                except asyncio.TimeoutError:
+                    if self._closed:
+                        break
                 continue
 
             gate = self._backpressure_gate()
             if gate is None:
+                inflight = await self._drain(inflight)
                 if self._prefill_jobs:
                     # nothing decodable yet (prefill-only batch, or every
                     # decode consumer saturated): keep admissions moving,
                     # chunk by chunk, without useless empty frames
                     self._advance_prefill()
-                    self._flush_audio()
+                    await self._flush_audio()
                     self._flush_first_tokens()
                     await asyncio.sleep(0)
                     continue
                 # every live consumer queue is saturated: drain pending
                 # work, then park until a consumer get() wakes the loop
                 self._flush_first_tokens()
-                self._flush_audio()
+                await self._flush_audio()
                 self._wake.clear()
                 if (
                     self._backpressure_gate() is not None
@@ -1327,23 +1515,27 @@ class OrpheusEngine:
             # chunk dispatched below samples at the earliest into the NEXT
             # frame's readback
             firsts, self._pending_first = self._pending_first, []
-            # at most one prefill chunk rides behind this frame: long
-            # admissions cost one chunk-time of cadence per frame, never
-            # a back-to-back chunk train (VERDICT r2 next #4)
-            self._advance_prefill()
-            host_out = await loop.run_in_executor(
-                None,
+            fut = loop.run_in_executor(
+                self._readback_pool,
                 jax.device_get,
                 (payload[0], payload[1], payload[2],
                  [f[2] for f in firsts]),
             )
-            self._process_frame(payload, slot_map, firsts, host_out)
-            # end-of-stream flush hops dispatched during routing (device
-            # is idle now; this costs one extra readback only on
-            # iterations where a stream ended)
-            self._flush_audio()
+            # at most one prefill chunk rides behind this frame: long
+            # admissions cost one chunk-time of cadence per frame, never
+            # a back-to-back chunk train (VERDICT r2 next #4)
+            self._advance_prefill()
+            # process the PREVIOUS frame while this one runs on device
+            if inflight is not None:
+                await self._settle(inflight)
+            inflight = (payload, slot_map, firsts, fut)
+            # route flush-hop PCM whose readback has completed; entries
+            # still in flight (queued behind the running frame) roll to a
+            # later iteration instead of stalling the dispatch cadence
+            await self._flush_audio(force=False)
+        await self._drain(inflight)
         self._flush_first_tokens()
-        self._flush_audio()
+        await self._flush_audio()
 
     def _run_audio_hops(self, pending: List[tuple]) -> None:
         """Dispatch host-planned SNAC hops (end-of-stream flushes).
@@ -1385,23 +1577,35 @@ class OrpheusEngine:
                 jnp.asarray(commit),
                 cfg=snac_cfg,
             )
-            # dispatch only; _flush_audio reads the PCM back after the
-            # NEXT frame is queued (device order: frame N, hops, frame
-            # N+1 — the readback waits for the hops alone)
-            self._pending_audio.append(("pcm", pcm, emits))
+            # issue the readback NOW (before any later frame dispatch can
+            # queue ahead of it); _flush_audio routes the bytes once the
+            # future completes, without ever blocking the frame cadence
+            fut = asyncio.get_running_loop().run_in_executor(
+                self._readback_pool, jax.device_get, pcm
+            )
+            self._pending_audio.append(("pcm", fut, emits))
 
-    def _flush_audio(self) -> None:
-        """Read back and route every dispatched-but-undelivered hop."""
-        if not self._pending_audio:
-            return
-        entries, self._pending_audio = self._pending_audio, []
+    async def _flush_audio(self, force: bool = True) -> None:
+        """Route dispatched flush-hop PCM, strictly in dispatch order.
+
+        With ``force`` (drain / park / shutdown paths) every pending entry
+        is awaited; otherwise entries whose readback is still in flight —
+        they ride the device queue behind the currently running frame —
+        are left for a later call so the dispatch cadence never stalls.
+        A stream's ``eos`` sentinel always follows its final PCM entry.
+        """
         hop_samples = self._codec[1].frame_samples if self._codec else 0
-        for entry in entries:
+        while self._pending_audio:
+            entry = self._pending_audio[0]
             if entry[0] == "eos":
+                self._pending_audio.pop(0)
                 entry[1].pcm_queue.put_nowait(None)
                 continue
-            _, pcm, emits = entry
-            pcm_np = np.asarray(pcm)
+            _, fut, emits = entry
+            if not force and not fut.done():
+                return
+            pcm_np = np.asarray(await fut)
+            self._pending_audio.pop(0)
             for slot, req, ws in emits:
                 if req.state is RequestState.CANCELLED:
                     continue

@@ -28,6 +28,12 @@ class SamplingParams:
     repetition_penalty: float = 1.1
     max_tokens: int = 8192
     stop_token_ids: Sequence[int] = (128258,)
+    # Per-request PRNG seed: a seeded request reproduces its exact token
+    # trace on every run, regardless of co-batched traffic or dispatch
+    # scheduling — each slot carries its own key chain on device, advanced
+    # only on steps where that lane emits (vLLM SamplingParams.seed
+    # equivalence).  None draws a fresh key from the engine's stream.
+    seed: Optional[int] = None
 
     def clipped(self) -> "SamplingParams":
         """Range clamps mirroring the server's /config validation
@@ -69,7 +75,7 @@ def reset_slots(state: Dict[str, jnp.ndarray], slot_mask: jnp.ndarray) -> Dict[s
 
 def sample_logits(
     logits: jnp.ndarray,          # (B, padded_vocab) fp32
-    key: jax.Array,
+    key: jax.Array,               # single key, or (B,) per-slot typed keys
     *,
     temperature: jnp.ndarray,     # (B,)
     top_p: jnp.ndarray,           # (B,)
@@ -77,7 +83,13 @@ def sample_logits(
     presence: jnp.ndarray,        # (B, padded_vocab) bool
     vocab_size: int,
 ) -> jnp.ndarray:
-    """Sample one token per slot; temperature==0 selects greedy argmax."""
+    """Sample one token per slot; temperature==0 selects greedy argmax.
+
+    ``key`` may be a single PRNG key (one draw spans the batch) or a
+    (B,) typed-key array — one independent chain per slot, which is what
+    gives seeded requests (SamplingParams.seed) schedule-independent
+    determinism inside a continuous batch.
+    """
     B, Vp = logits.shape
     lane = jnp.arange(Vp)[None, :]
     logits = jnp.where(lane < vocab_size, logits, -jnp.inf)
@@ -107,5 +119,8 @@ def sample_logits(
         hi = jnp.where(keep, hi, mid)
     nucleus = jnp.where(probs >= lo[:, None], scaled, -jnp.inf)
 
-    sampled = jax.random.categorical(key, nucleus, axis=-1)
+    if key.ndim == 1:  # (B,) per-slot keys: independent draw per lane
+        sampled = jax.vmap(jax.random.categorical)(key, nucleus)
+    else:
+        sampled = jax.random.categorical(key, nucleus, axis=-1)
     return jnp.where(temperature <= 0.0, greedy, sampled).astype(jnp.int32)

@@ -190,6 +190,7 @@ def engine_state_shardings(mesh: Mesh, quantized_cache: bool = False,
         "remaining": slot,
         "is_audio": slot,
         "custom_stops": _ns(mesh, "data", None),
+        "rng": slot,
         "last_tokens": slot,
         "presence": _ns(mesh, "data", None),
         "temp": slot,

@@ -2,13 +2,15 @@
 """Per-phase timing of the live serving loop (where does a frame go?).
 
 Wraps the engine's loop phases (`_dispatch_frame`, `_advance_prefill`,
-`_run_audio_hops`, `_flush_audio`, `_flush_first_tokens`, `_process_frame`)
+`_run_audio_hops`, `_flush_first_tokens`, `_process_frame`, `_settle`)
 with wall timers, drives 8 concurrent audio streams exactly like bench.py,
 and prints the per-iteration breakdown.  Everything outside the phases is
 "loop other" (asyncio scheduling, admission bookkeeping, consumer wakeups).
+`_settle` is the await of the previous frame's overlapped readback — large
+values there mean the loop is device-bound, not host-bound.
 
 Run exclusively on the chip:
-``python scripts/profile_serving.py [ctx] [pipeline_depth]``.
+``python scripts/profile_serving.py [ctx] [frames_per_dispatch]``.
 """
 from __future__ import annotations
 
@@ -36,7 +38,7 @@ def main() -> int:
     from project_morpheus_tpu.model.sampling import SamplingParams
 
     ctx = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-    pdepth = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    fpd = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
         cfg, dtype = LlamaConfig.orpheus_3b(), jnp.bfloat16
@@ -56,7 +58,7 @@ def main() -> int:
     engine = OrpheusEngine(
         params, cfg,
         EngineConfig(max_slots=n_streams, max_seq_len=max_seq,
-                     lenient_audio_codes=True, pipeline_depth=pdepth),
+                     lenient_audio_codes=True, frames_per_dispatch=fpd),
         codec=(snac_params, snac_cfg),
     )
 
@@ -65,20 +67,26 @@ def main() -> int:
 
     def wrap(name):
         orig = getattr(engine, name)
-
-        def timed(*a, **kw):
-            t0 = time.perf_counter()
-            out = orig(*a, **kw)
-            dt = time.perf_counter() - t0
-            stats[name] += dt
-            counts[name] += 1
-            return out
+        if asyncio.iscoroutinefunction(orig):
+            async def timed(*a, _orig=orig, _name=name, **kw):
+                t0 = time.perf_counter()
+                out = await _orig(*a, **kw)
+                stats[_name] += time.perf_counter() - t0
+                counts[_name] += 1
+                return out
+        else:
+            def timed(*a, _orig=orig, _name=name, **kw):
+                t0 = time.perf_counter()
+                out = _orig(*a, **kw)
+                stats[_name] += time.perf_counter() - t0
+                counts[_name] += 1
+                return out
 
         setattr(engine, name, timed)
 
     for name in ("_dispatch_frame", "_advance_prefill", "_run_audio_hops",
                  "_flush_audio", "_flush_first_tokens", "_process_frame",
-                 "_admit"):
+                 "_settle", "_admit"):
         wrap(name)
 
     sp = SamplingParams(temperature=0.6, top_p=0.9, repetition_penalty=1.1,
@@ -119,7 +127,7 @@ def main() -> int:
     accounted = sum(v for v in stats.values())
     print(json.dumps({
         "ctx": ctx,
-        "pipeline_depth": pdepth,
+        "frames_per_dispatch": fpd,
         "wall_s": round(wall, 3),
         "rtf": round(audio_s / wall, 3),
         "frame_iters": iters,

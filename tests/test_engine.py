@@ -260,10 +260,9 @@ def test_backpressure_gates_saturated_consumer(params, cfg):
         fast_out = [t async for t in fast.tokens()]
         # the fast stream finished its 80 tokens while `slow` was never
         # drained: slow's queue is bounded by the watermark plus at most
-        # the frames dispatched/in flight when the gate closed
-        bound = ecfg.max_queued_tokens + ecfg.steps_per_sync * (
-            1 + ecfg.pipeline_depth
-        )
+        # two dispatch units (the overlap pipeline keeps one dispatched-
+        # but-unprocessed frame in flight when the gate closes)
+        bound = ecfg.max_queued_tokens + 2 * ecfg.steps_per_sync
         assert slow.token_queue.qsize() <= bound
         assert len(fast_out) == 80
         # draining the slow consumer resumes generation to completion
@@ -402,3 +401,51 @@ def test_device_budget_caps_generation_exactly(params, cfg):
         assert len(toks) <= 9
         if 7 not in toks:
             assert len(toks) == 9
+
+
+def test_seeded_request_is_schedule_independent(params, cfg):
+    """SamplingParams.seed must reproduce the exact token trace no matter
+    what else is co-batched (per-slot device key chains, advanced only on
+    emitting steps) — the property the adapter descriptor's supports_seed
+    advertises (reference adapter_registry.py:48-60)."""
+    sp_seeded = SamplingParams(
+        temperature=0.9, max_tokens=12, stop_token_ids=(), seed=1234
+    )
+
+    async def solo():
+        eng = _engine(params, cfg)
+        req = await eng.submit([5, 6, 8], sp_seeded)
+        toks = [t async for t in req.tokens()]
+        await eng.close()
+        return toks
+
+    async def crowded():
+        eng = _engine(params, cfg)
+        # different co-batch: two unseeded high-temperature streams
+        noise = SamplingParams(
+            temperature=1.2, max_tokens=30, stop_token_ids=()
+        )
+        n1 = await eng.submit([9, 10], noise)
+        req = await eng.submit([5, 6, 8], sp_seeded)
+        n2 = await eng.submit([11, 12], noise)
+        toks = [t async for t in req.tokens()]
+        _ = [t async for t in n1.tokens()]
+        _ = [t async for t in n2.tokens()]
+        await eng.close()
+        return toks
+
+    a = _run(solo())
+    b = _run(crowded())
+    assert len(a) >= 3
+    assert a == b, f"seeded trace changed with co-batch: {a} vs {b}"
+
+    # two engines, same seed: also identical (engine PRNG not involved)
+    async def other_engine_seed():
+        eng = _engine(params, cfg, seed=99)
+        req = await eng.submit([5, 6, 8], sp_seeded)
+        toks = [t async for t in req.tokens()]
+        await eng.close()
+        return toks
+
+    c = _run(other_engine_seed())
+    assert a == c

@@ -223,3 +223,58 @@ def test_multiframe_dispatch_pcm_matches_exact_stream_decoder(
     assert got == want, (
         f"multi-frame PCM ({len(got)} B) != exact decoder ({len(want)} B)"
     )
+
+
+def test_warmup_precompiles_every_serving_program(setup):
+    """engine.warmup(prompt_lens, max_new_tokens) must compile every
+    program a matching serving run reaches — including context buckets
+    first crossed MID-stream.  The r3 bench's ctx-512 row crossed into a
+    cold bucket mid-row and spent its measured wall compiling; this pins
+    the fix.  Checked via the jitted kernels' cache sizes: a serving run
+    after warmup must add zero new compilations."""
+    import project_morpheus_tpu.engine.engine as eng_mod
+
+    cfg, params, snac_cfg, snac_params = setup
+    params = dict(params)
+    lo = 128_266
+    params["embed"] = params["embed"].at[lo : lo + 7 * 4096].multiply(10.0)
+
+    eng = OrpheusEngine(
+        params,
+        cfg,
+        EngineConfig(
+            max_slots=2,
+            max_seq_len=256,
+            prefill_buckets=(16, 32),
+            context_buckets=(64, 128, 256),
+            steps_per_sync=7,
+            frames_per_dispatch=2,
+            lenient_audio_codes=True,
+            default_stop_ids=(),
+        ),
+        codec=(snac_params, snac_cfg),
+        seed=5,
+    )
+    # ctx 20 + 100 new tokens crosses the 128 and 256 context buckets
+    n_programs = eng.warmup(prompt_lens=[20], max_new_tokens=100)
+    assert n_programs >= 4  # prefill + >=2 (bucket, k) pairs + flush hop
+
+    kernels = [
+        eng_mod._prefill,
+        eng_mod._decode_audio_multi,
+        eng_mod._release,
+    ]
+    before = [k._cache_size() for k in kernels]
+
+    async def go():
+        sp = SamplingParams(temperature=0.9, max_tokens=100, stop_token_ids=())
+        req = await eng.submit(list(range(10, 30)), sp, audio=True)
+        async for _ in req.pcm_chunks():
+            pass
+        await eng.close()
+
+    asyncio.run(go())
+    after = [k._cache_size() for k in kernels]
+    assert after == before, (
+        f"serving compiled new programs after warmup: {before} -> {after}"
+    )

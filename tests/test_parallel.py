@@ -126,6 +126,7 @@ def test_engine_state_shardings_cover_dstate(cfg):
         "remaining": jnp.zeros((B,), jnp.int32),
         "is_audio": jnp.zeros((B,), bool),
         "custom_stops": jnp.full((B, 8), -1, jnp.int32),
+        "rng": jax.random.split(jax.random.key(0), B),
         "last_tokens": jnp.zeros((B,), jnp.int32),
         "presence": jnp.zeros((B, cfg.padded_vocab), bool),
         "temp": jnp.zeros((B,), jnp.float32),
