@@ -88,12 +88,13 @@ class EngineConfig:
     attn_impl: str = "auto"
     pallas_min_bucket: int = 2048  # used only when attn auto-selects pallas
     steps_per_sync: int = 0  # 0/auto -> 7 on TPU (one SNAC frame), 1 elsewhere
-    # Max codec frames decoded per fused audio dispatch (0/auto -> 4 on
-    # TPU, 1 elsewhere).  The tunnel's ~26 ms per-readback tax is paid
-    # once per dispatch, so batching k frames lifts steady-state RTF
-    # (measured 46 ms device/frame: k=1 -> ~8x, k=4 -> ~12x at ctx 512);
-    # the engine drops back to 1 frame/dispatch whenever any live audio
-    # stream is still waiting for its first hop, keeping TTFA unchanged.
+    # Max codec frames decoded per fused audio dispatch (0/auto -> 1).
+    # Multi-frame batching existed to amortise the tunnel's ~26 ms
+    # per-readback tax; the overlap loop hides that tax behind device
+    # execution entirely, and the chip A/B (scripts/probe_fpd.py, ctx 512
+    # batch 8) reads k=1: 11.5x RTF / 65 ms hop-gap p95 vs k=4: 10.9x /
+    # 231 ms — k=1 is faster AND 3.5x smoother, so it is the default on
+    # every backend.  >1 remains available for experiments.
     frames_per_dispatch: int = 0
     # The serving loop keeps ONE frame in flight: it dispatches frame N,
     # issues frame N's readback from a worker thread, and only then
@@ -713,9 +714,7 @@ class OrpheusEngine:
             self.steps_per_sync = 7 if jax.default_backend() == "tpu" else 1
         self.frames_per_dispatch = self.ecfg.frames_per_dispatch
         if self.frames_per_dispatch <= 0:
-            self.frames_per_dispatch = (
-                4 if jax.default_backend() == "tpu" else 1
-            )
+            self.frames_per_dispatch = 1
         self._free: List[int] = list(range(B))
         self._by_slot: Dict[int, Request] = {}
         # async admission: first tokens sampled by an in-flight prefill,
@@ -1457,11 +1456,21 @@ class OrpheusEngine:
         loop = asyncio.get_running_loop()
         inflight = None  # (payload, slot snapshot, firsts, readback future)
         while not self._closed:
-            # admit at most ONE request per iteration: the first stream of
-            # an arrival burst gets its first frame after its own prefill
-            # instead of waiting out the whole burst's prefills (measured
-            # TTFA p50 514 ms for 8 simultaneous ctx-512 arrivals)
-            if self._free and not self._pending.empty():
+            # Admission pacing: half the backlog per iteration (at least
+            # one).  A lone arrival admits immediately; an 8-stream burst
+            # admits 4+2+1+1 with a decode frame between groups, so the
+            # MEDIAN stream's first audio waits ~half the burst's prefill
+            # work instead of all of it (admit-everything measured TTFA
+            # p50 514 ms) while late streams still ramp in behind frames
+            # (admit-one measured p50 451 ms — the early streams' frames
+            # serialised ahead of the median stream's prefill).
+            n_admit = min(
+                len(self._free),
+                max(1, (self._pending.qsize() + 1) // 2),
+            )
+            for _ in range(n_admit):
+                if not self._free or self._pending.empty():
+                    break
                 req = self._pending.get_nowait()
                 if req.state is not RequestState.CANCELLED:
                     self._admit(req)
