@@ -692,7 +692,7 @@ class OrpheusEngine:
                 self.dstate,
                 engine_state_shardings(
                     mesh,
-                    quantized_cache="k_scale" in self.dstate["cache"],
+                    quantized_cache="scale" in self.dstate["cache"],
                     audio_ring="ring" in self.dstate,
                 ),
             )

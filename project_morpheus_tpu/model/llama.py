@@ -127,22 +127,37 @@ def init_kv_cache(
     KV-bandwidth-bound (8 slots x 8192 bf16 for the 3B reads 7.5 GB per
     step), so halving the payload nearly halves the step at 8k.  Writes
     quantize per position (max-abs/127); attention dequantises in
-    registers (scores scale by k_scale, probs by v_scale).
+    registers (scores scale by the k scales, probs by the v scales).
+
+    LAYOUT (int8 only): payload ``(L, slots, max_seq, kv_heads, head_dim)``
+    — position OUTSIDE the (kv_heads, head_dim) minor dims — and one
+    combined scale array ``(L, slots, max_seq, 2*kv_heads)`` holding the k
+    scales in lanes ``[:KV]`` and the v scales in ``[KV:]``.  Int8 sub-byte
+    tiling cannot update a single position in place in the bf16 layout:
+    XLA relaid the ENTIRE donated cache out (and back) every decode step —
+    a cache-sized temp and +3 ms/step at 8k, measured.  With position
+    above the minor dims, each step's write is a contiguous lane row, the
+    in-place update survives, and the step's temp drops from ~3.9 GiB to
+    ~0.9 GiB (the padded scale copy) — probe history in DECISIONS r4-005.
+    The bf16 cache keeps the r1-001 head-major layout, which it tiles and
+    updates in place natively.
     """
     S = max_len or cfg.max_seq_len
-    shape = (cfg.num_layers, batch, cfg.num_kv_heads, S, cfg.head_dim)
     if jnp.dtype(dtype) == jnp.int8:
+        qshape = (cfg.num_layers, batch, S, cfg.num_kv_heads, cfg.head_dim)
         return {
-            "k": jnp.zeros(shape, jnp.int8),
-            "v": jnp.zeros(shape, jnp.int8),
-            "k_scale": jnp.zeros(shape[:-1], jnp.float32),
-            "v_scale": jnp.zeros(shape[:-1], jnp.float32),
+            "k": jnp.zeros(qshape, jnp.int8),
+            "v": jnp.zeros(qshape, jnp.int8),
+            "scale": jnp.zeros(
+                (cfg.num_layers, batch, S, 2 * cfg.num_kv_heads), jnp.float32
+            ),
         }
+    shape = (cfg.num_layers, batch, cfg.num_kv_heads, S, cfg.head_dim)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
 def kv_cache_is_quantized(cache: KVCache) -> bool:
-    return "k_scale" in cache
+    return "scale" in cache
 
 
 def quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -458,23 +473,24 @@ def llama_forward(
         if B == 1:
             # prefill fast path: one whole-stack dynamic_update_slice into
             # the (donated) cache — in place, no gather/scatter machinery
-            kw = jnp.swapaxes(ks, 2, 3)  # (L, 1, KV, S, HD)
-            vw = jnp.swapaxes(vs, 2, 3)
-            start = (0, lanes[0], 0, write_off[0], 0)
             if quant:
-                kq, ksc = quantize_kv(kw)
-                vq, vsc = quantize_kv(vw)
+                # quantized layout keeps (L, 1, S, KV, HD): no transpose
+                kq, ksc = quantize_kv(ks)  # (L,1,S,KV,HD) int8, (L,1,S,KV)
+                vq, vsc = quantize_kv(vs)
+                qstart = (0, lanes[0], write_off[0], 0, 0)
                 new_cache = {
-                    "k": lax.dynamic_update_slice(cache["k"], kq, start),
-                    "v": lax.dynamic_update_slice(cache["v"], vq, start),
-                    "k_scale": lax.dynamic_update_slice(
-                        cache["k_scale"], ksc, start[:-1]
-                    ),
-                    "v_scale": lax.dynamic_update_slice(
-                        cache["v_scale"], vsc, start[:-1]
+                    "k": lax.dynamic_update_slice(cache["k"], kq, qstart),
+                    "v": lax.dynamic_update_slice(cache["v"], vq, qstart),
+                    "scale": lax.dynamic_update_slice(
+                        cache["scale"],
+                        jnp.concatenate([ksc, vsc], axis=-1),
+                        qstart[:-1],
                     ),
                 }
             else:
+                kw = jnp.swapaxes(ks, 2, 3)  # (L, 1, KV, S, HD)
+                vw = jnp.swapaxes(vs, 2, 3)
+                start = (0, lanes[0], 0, write_off[0], 0)
                 new_cache = {
                     "k": lax.dynamic_update_slice(
                         cache["k"], kw.astype(cache["k"].dtype), start
@@ -491,13 +507,12 @@ def llama_forward(
                 kq, ksc = quantize_kv(ks)  # (L,B,S,KV,HD) int8, (L,B,S,KV)
                 vq, vsc = quantize_kv(vs)
                 new_cache = {
-                    "k": _scatter_seq(cache["k"], kq, batch_idx, pos_idx),
-                    "v": _scatter_seq(cache["v"], vq, batch_idx, pos_idx),
-                    "k_scale": _scatter_seq_scale(
-                        cache["k_scale"], ksc, batch_idx, pos_idx
-                    ),
-                    "v_scale": _scatter_seq_scale(
-                        cache["v_scale"], vsc, batch_idx, pos_idx
+                    "k": _scatter_seq_q(cache["k"], kq, batch_idx, pos_idx),
+                    "v": _scatter_seq_q(cache["v"], vq, batch_idx, pos_idx),
+                    "scale": _scatter_seq_q(
+                        cache["scale"],
+                        jnp.concatenate([ksc, vsc], axis=-1),
+                        batch_idx, pos_idx,
                     ),
                 }
             else:
@@ -522,18 +537,14 @@ def _scatter_seq(cache, kv, batch_idx, pos_idx):
     return jax.vmap(one_layer)(cache, kv)
 
 
-def _scatter_seq_scale(cache, sc, batch_idx, pos_idx):
-    """Write scales (L,B,S,KV) into cache (L,B,KV,Smax) at pos_idx (B,S)."""
-    KV = cache.shape[2]
-    kv_idx = jnp.arange(KV)[None, :, None]
+def _scatter_seq_q(cache, vals, batch_idx, pos_idx):
+    """Write (L,B,S,...) values into a position-major quantized cache
+    array (L,B,Smax,...) at pos_idx (B,S) — payloads and scales alike."""
 
-    def one_layer(c_l, s_l):
-        vals = jnp.swapaxes(s_l, 1, 2)  # (B, KV, S)
-        return c_l.at[
-            batch_idx[:, None, :], kv_idx, pos_idx[:, None, :]
-        ].set(vals.astype(c_l.dtype))
+    def one_layer(c_l, v_l):
+        return c_l.at[batch_idx, pos_idx].set(v_l.astype(c_l.dtype))
 
-    return jax.vmap(one_layer)(cache, sc)
+    return jax.vmap(one_layer)(cache, vals)
 
 
 def _project_qkv(h, wl, cfg: LlamaConfig):
@@ -684,44 +695,49 @@ def llama_prefill_chunk(
         q, k, v = _project_qkv(h, wl, cfg)  # (1, S, H/KV, HD)
         q = apply_rope(q, positions, inv_freqs)
         k = apply_rope(k, positions, inv_freqs)
-        kh = jnp.swapaxes(k, 1, 2)  # (1, KV, S, HD)
-        vh = jnp.swapaxes(v, 1, 2)
         if quant:
-            kq, ksc = quantize_kv(kh)  # (1,KV,S,HD) int8, (1,KV,S) f32
-            vq, vsc = quantize_kv(vh)
+            # position-major quantized layout: write (S, KV, HD) directly
+            kq, ksc = quantize_kv(k[0])  # (S,KV,HD) int8, (S,KV) f32
+            vq, vsc = quantize_kv(v[0])
             c["k"] = lax.dynamic_update_slice(
-                c["k"], kq[None], (i, slot, 0, offset, 0)
+                c["k"], kq[None, None], (i, slot, offset, 0, 0)
             )
             c["v"] = lax.dynamic_update_slice(
-                c["v"], vq[None], (i, slot, 0, offset, 0)
+                c["v"], vq[None, None], (i, slot, offset, 0, 0)
             )
-            c["k_scale"] = lax.dynamic_update_slice(
-                c["k_scale"], ksc[None], (i, slot, 0, offset)
+            c["scale"] = lax.dynamic_update_slice(
+                c["scale"],
+                jnp.concatenate([ksc, vsc], axis=-1)[None, None],
+                (i, slot, offset, 0),
             )
-            c["v_scale"] = lax.dynamic_update_slice(
-                c["v_scale"], vsc[None], (i, slot, 0, offset)
-            )
+            # history reads transpose only the hist-bucket slice (cheap),
+            # never the cache
+            k_s = jnp.swapaxes(lax.dynamic_slice(
+                c["k"], (i, slot, 0, 0, 0), (1, 1, hist_bucket, KV, HD)
+            )[0, 0], 0, 1)  # (KV, hist, HD)
+            v_s = jnp.swapaxes(lax.dynamic_slice(
+                c["v"], (i, slot, 0, 0, 0), (1, 1, hist_bucket, KV, HD)
+            )[0, 0], 0, 1)
+            sc_s = lax.dynamic_slice(
+                c["scale"], (i, slot, 0, 0), (1, 1, hist_bucket, 2 * KV)
+            )[0, 0]  # (hist, 2*KV)
+            ks_s = sc_s[:, :KV].T  # (KV, hist)
+            vs_s = sc_s[:, KV:].T
         else:
+            kh = jnp.swapaxes(k, 1, 2)  # (1, KV, S, HD)
+            vh = jnp.swapaxes(v, 1, 2)
             c["k"] = lax.dynamic_update_slice(
                 c["k"], kh.astype(c["k"].dtype)[None], (i, slot, 0, offset, 0)
             )
             c["v"] = lax.dynamic_update_slice(
                 c["v"], vh.astype(c["v"].dtype)[None], (i, slot, 0, offset, 0)
             )
-        k_s = lax.dynamic_slice(
-            c["k"], (i, slot, 0, 0, 0), (1, 1, KV, hist_bucket, HD)
-        )[0, 0]
-        v_s = lax.dynamic_slice(
-            c["v"], (i, slot, 0, 0, 0), (1, 1, KV, hist_bucket, HD)
-        )[0, 0]
-        if quant:
-            ks_s = lax.dynamic_slice(
-                c["k_scale"], (i, slot, 0, 0), (1, 1, KV, hist_bucket)
+            k_s = lax.dynamic_slice(
+                c["k"], (i, slot, 0, 0, 0), (1, 1, KV, hist_bucket, HD)
             )[0, 0]
-            vs_s = lax.dynamic_slice(
-                c["v_scale"], (i, slot, 0, 0), (1, 1, KV, hist_bucket)
+            v_s = lax.dynamic_slice(
+                c["v"], (i, slot, 0, 0, 0), (1, 1, KV, hist_bucket, HD)
             )[0, 0]
-        else:
             ks_s = vs_s = None
         qg = q[0].reshape(S, KV, G, HD)
         attn = _chunk_streaming_attn(
@@ -774,11 +790,13 @@ def llama_decode_step(
     step (~3.8 GB at 8x2048) and measured 20.7 ms vs 6.9 ms for this one.
     """
     B = tokens.shape[0]
-    S = cache["k"].shape[3]
+    quant = kv_cache_is_quantized(cache)
+    # position axis: dim 2 in the quantized position-major layout, dim 3
+    # in the bf16 head-major layout (init_kv_cache)
+    S = cache["k"].shape[2 if quant else 3]
     KV, HD = cfg.num_kv_heads, cfg.head_dim
     G = cfg.num_heads // KV
     bkt = min(bucket or S, S)
-    quant = kv_cache_is_quantized(cache)
     inv_freqs = rope_inv_freqs(cfg)
     x = embed_lookup(
         params["embed"], tokens[:, None], dtype=params["ln_f"].dtype
@@ -803,19 +821,20 @@ def llama_decode_step(
         # ~25 us/layer extra on v5e)
         for b in range(B):
             if quant:
+                # position-major layout: one contiguous (KV, HD) lane-row
+                # write per slot (in place; see init_kv_cache layout note)
                 kq, ksc = quantize_kv(k[b, 0])  # (KV, HD), (KV,)
                 vq, vsc = quantize_kv(v[b, 0])
                 c["k"] = lax.dynamic_update_slice(
-                    c["k"], kq.reshape(1, 1, KV, 1, HD), (i, b, 0, lengths[b], 0)
+                    c["k"], kq.reshape(1, 1, 1, KV, HD), (i, b, lengths[b], 0, 0)
                 )
                 c["v"] = lax.dynamic_update_slice(
-                    c["v"], vq.reshape(1, 1, KV, 1, HD), (i, b, 0, lengths[b], 0)
+                    c["v"], vq.reshape(1, 1, 1, KV, HD), (i, b, lengths[b], 0, 0)
                 )
-                c["k_scale"] = lax.dynamic_update_slice(
-                    c["k_scale"], ksc.reshape(1, 1, KV, 1), (i, b, 0, lengths[b])
-                )
-                c["v_scale"] = lax.dynamic_update_slice(
-                    c["v_scale"], vsc.reshape(1, 1, KV, 1), (i, b, 0, lengths[b])
+                c["scale"] = lax.dynamic_update_slice(
+                    c["scale"],
+                    jnp.concatenate([ksc, vsc]).reshape(1, 1, 1, 2 * KV),
+                    (i, b, lengths[b], 0),
                 )
             else:
                 c["k"] = lax.dynamic_update_slice(
@@ -832,23 +851,20 @@ def llama_decode_step(
         if attn_impl == "pallas":
             from ..ops.decode_attention import decode_attention_layered
 
+            if quant:
+                raise NotImplementedError(
+                    "the pallas decode kernel reads the bf16 head-major "
+                    "cache; the int8 cache uses the dense int8-MXU path"
+                )
             attn = decode_attention_layered(
                 q[:, 0],
                 c["k"],
                 c["v"],
                 lengths + 1,
                 i,
-                k_scale=c["k_scale"] if quant else None,
-                v_scale=c["v_scale"] if quant else None,
                 interpret=jax.default_backend() != "tpu",
             ).reshape(B, 1, cfg.num_heads * HD).astype(x.dtype)
         else:
-            k_s = lax.dynamic_slice(
-                c["k"], (i, 0, 0, 0, 0), (1, B, KV, bkt, HD)
-            )[0]
-            v_s = lax.dynamic_slice(
-                c["v"], (i, 0, 0, 0, 0), (1, B, KV, bkt, HD)
-            )[0]
             qg = q.reshape(B, KV, G, HD)
             if quant:
                 # int8 MXU path: the cache streams from HBM AS int8 (an
@@ -856,12 +872,21 @@ def llama_decode_step(
                 # the traffic, measured 32 ms vs 9.4 ms bf16 at bucket
                 # 2048).  Queries quantize per row (B,KV,G); scores come
                 # out int32 and rescale by q-scale x per-position k-scale.
-                ks_s = lax.dynamic_slice(
-                    c["k_scale"], (i, 0, 0, 0), (1, B, KV, bkt)
+                # Slices are position-major (B, bkt, KV, HD); the dots
+                # contract over HD / bkt with KV as a strided batch dim —
+                # XLA handles the bucket-sized operands without touching
+                # the cache layout (the whole point; see init_kv_cache).
+                k_s = lax.dynamic_slice(
+                    c["k"], (i, 0, 0, 0, 0), (1, B, bkt, KV, HD)
                 )[0]
-                vs_s = lax.dynamic_slice(
-                    c["v_scale"], (i, 0, 0, 0), (1, B, KV, bkt)
+                v_s = lax.dynamic_slice(
+                    c["v"], (i, 0, 0, 0, 0), (1, B, bkt, KV, HD)
                 )[0]
+                sc_s = lax.dynamic_slice(
+                    c["scale"], (i, 0, 0, 0), (1, B, bkt, 2 * KV)
+                )[0]  # (B, bkt, 2*KV)
+                ks_s = jnp.swapaxes(sc_s[..., :KV], 1, 2)  # (B, KV, bkt)
+                vs_s = jnp.swapaxes(sc_s[..., KV:], 1, 2)
                 qsc = jnp.maximum(
                     jnp.max(jnp.abs(qg.astype(jnp.float32)), axis=-1), 1e-8
                 ) / 127.0  # (B, KV, G)
@@ -870,7 +895,7 @@ def llama_decode_step(
                     -127, 127,
                 ).astype(jnp.int8)
                 s32 = jnp.einsum(
-                    "bkgd,bksd->bkgs", q8, k_s,
+                    "bkgd,bskd->bkgs", q8, k_s,
                     preferred_element_type=jnp.int32,
                 )
                 scores = (
@@ -890,7 +915,7 @@ def llama_decode_step(
                     jnp.round(pv / psc[..., None]), -127, 127
                 ).astype(jnp.int8)
                 o32 = jnp.einsum(
-                    "bkgs,bksd->bkgd", p8, v_s,
+                    "bkgs,bskd->bkgd", p8, v_s,
                     preferred_element_type=jnp.int32,
                 )
                 attn = (
@@ -899,6 +924,12 @@ def llama_decode_step(
                     .astype(x.dtype)
                 )
             else:
+                k_s = lax.dynamic_slice(
+                    c["k"], (i, 0, 0, 0, 0), (1, B, KV, bkt, HD)
+                )[0]
+                v_s = lax.dynamic_slice(
+                    c["v"], (i, 0, 0, 0, 0), (1, B, KV, bkt, HD)
+                )[0]
                 scores = jnp.einsum(
                     "bkgd,bksd->bkgs", qg, k_s.astype(qg.dtype),
                     preferred_element_type=jnp.float32,

@@ -164,19 +164,24 @@ def shardings_like(params: Dict, shardings: Dict) -> Dict:
 
 
 def kv_cache_shardings(mesh: Mesh, quantized: bool = False) -> Dict:
-    """Cache (L, slots, KV, S, HD): slots over data, kv heads over model.
-
-    ``quantized`` adds the int8 cache's per-position scale planes
-    (L, slots, KV, S), sharded the same way.
+    """bf16 cache (L, slots, KV, S, HD): slots over data, kv heads over
+    model.  The quantized cache is position-major (L, slots, S, KV, HD)
+    with a combined (L, slots, S, 2*KV) scale array (init_kv_cache layout
+    note): payload kv heads shard over model on dim 3; the scale lanes
+    interleave k|v halves, so they stay replicated across model (tiny
+    next to the payload, and the score/prob multiplies slice them
+    locally without communication).
     """
-    out = {
+    if quantized:
+        return {
+            "k": _ns(mesh, None, "data", None, "model", None),
+            "v": _ns(mesh, None, "data", None, "model", None),
+            "scale": _ns(mesh, None, "data", None, None),
+        }
+    return {
         "k": _ns(mesh, None, "data", "model", None, None),
         "v": _ns(mesh, None, "data", "model", None, None),
     }
-    if quantized:
-        out["k_scale"] = _ns(mesh, None, "data", "model", None)
-        out["v_scale"] = _ns(mesh, None, "data", "model", None)
-    return out
 
 
 def engine_state_shardings(mesh: Mesh, quantized_cache: bool = False,

@@ -6,7 +6,7 @@ works well" (Orpheus-TTS/pretrain/train.py:142).  This measures the
 single-chip member of that recipe on the v5e: one fwd/bwd/update step of
 the 3B model at seq 8192 (blockwise attention + per-layer remat — the
 auto-selected long-seq posture), and records step time, tokens/s and the
-HBM high-water mark into ``TRAIN_r03.json``.
+HBM high-water mark into ``TRAIN_r04.json``.
 
 Optimizer note: AdamW's two fp32 moments (~25 GB with params+grads) do
 not fit one 16 GiB chip — that is exactly why the reference shards with
@@ -105,7 +105,7 @@ def main() -> int:
         "peak_hbm_gib": round(peak / 2**30, 2) if peak else None,
         "reference": "Orpheus-TTS/pretrain/train.py:142",
     }
-    out = Path(__file__).resolve().parent.parent / "TRAIN_r03.json"
+    out = Path(__file__).resolve().parent.parent / "TRAIN_r04.json"
     out.write_text(json.dumps(result, indent=1))
     print(json.dumps(result))
     return 0

@@ -97,9 +97,13 @@ def test_layered_int8_fallback_matches_dequant_reference():
     )
 
 
-def test_decode_step_pallas_int8_matches_dense():
-    """llama_decode_step with attn_impl=pallas on an int8 cache (CPU
-    fallback path) must agree with the dense int8 path."""
+def test_decode_step_pallas_rejects_int8_cache():
+    """The pallas decode kernel reads the bf16 head-major cache layout;
+    the quantized cache is position-major (init_kv_cache layout note), so
+    attn_impl=pallas on an int8 cache must refuse loudly rather than read
+    transposed garbage.  (The kernel's own int8+scales support remains
+    covered by test_decode_attention_int8_scales above, on arrays in the
+    kernel's documented layout.)"""
     from project_morpheus_tpu.model import LlamaConfig, init_llama_params
     from project_morpheus_tpu.model.llama import init_kv_cache, llama_decode_step
 
@@ -108,30 +112,8 @@ def test_decode_step_pallas_int8_matches_dense():
     B, S = 2, 64
     lengths = jnp.asarray([5, 9], jnp.int32)
     cache = init_kv_cache(cfg, B, S, jnp.int8)
-    # seed the cache with a short prefix via the dense step itself
     toks = jnp.asarray([3, 8], jnp.int32)
-    logits_d, cache_d = llama_decode_step(
-        params, toks, cfg, cache, lengths, attn_impl="dense"
-    )
-    logits_p, cache_p = llama_decode_step(
-        params, toks, cfg, cache, lengths, attn_impl="pallas"
-    )
-    # dense int8 quantizes q and the folded probs for int8 MXU dots; the
-    # pallas fallback dequantises exactly — differences are bounded by the
-    # extra ~0.8% quantisation error
-    np.testing.assert_allclose(
-        np.asarray(logits_p), np.asarray(logits_d), rtol=5e-2, atol=5e-2
-    )
-    # layer>0 K/V depend on the attention output, so ULP-level drift
-    # between implementations is expected; payloads may differ by 1 LSB
-    for key in ("k", "v"):
-        diff = np.abs(
-            np.asarray(cache_d[key], np.int32)
-            - np.asarray(cache_p[key], np.int32)
-        )
-        assert diff.max() <= 2
-    for key in ("k_scale", "v_scale"):
-        np.testing.assert_allclose(
-            np.asarray(cache_d[key]), np.asarray(cache_p[key]),
-            rtol=5e-2, atol=1e-9,
+    with pytest.raises(NotImplementedError):
+        llama_decode_step(
+            params, toks, cfg, cache, lengths, attn_impl="pallas"
         )
