@@ -178,7 +178,7 @@ def main() -> None:
         # 560 tokens = 80 frames/stream: the row's wall-clock is dominated
         # by the steady multi-frame cadence, not the admission ramp
         bf16_max_seq, bf16_rows_spec = 4096, [(512, 560), (2048, 560)]
-        int8_max_seq, int8_rows_spec = 8192, [(2048, 560), (8000, 140)]
+        int8_max_seq, int8_rows_spec = 8192, [(2048, 560), (8000, 560)]
         n_streams = 8
         warm_tokens = 14
         model_name = "orpheus_3b_int8w"
