@@ -223,7 +223,8 @@ def main() -> None:
         if cadence_long_ctx:
             lens += [512, cadence_long_ctx]
             max_new = max(max_new, 560)
-        engine.warmup(prompt_lens=lens, max_new_tokens=max_new)
+        engine.warmup(prompt_lens=lens, max_new_tokens=max_new,
+                      burst=n_streams)
         out_rows = []
         for ctx, max_toks in row_list:
             # one short pass warms the host paths (planner, asyncio, numpy)

@@ -46,6 +46,7 @@ from ..model.llama import (
     llama_decode_step,
     llama_forward,
     llama_prefill_chunk,
+    llama_prefill_chunk_batch,
 )
 from ..model.sampling import SamplingParams, sample_logits
 from .request import Request, RequestState
@@ -326,6 +327,88 @@ def _prefill_chunk(
     dstate = _seed_slot_state(dstate, slot, samp, allowed, is_audio,
                               custom_stops, nxt)
     dstate = _ring_seed(dstate, slot, first, is_audio, lenient)
+    return dstate, first
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "hist_bucket", "sample", "lenient"),
+    donate_argnums=(1,),
+)
+def _prefill_chunk_batch(
+    params,
+    dstate,
+    tokens: jnp.ndarray,       # (J, C) one (padded) chunk per job
+    lengths: jnp.ndarray,      # (J,) real tokens in each chunk
+    offsets: jnp.ndarray,      # (J,) chunk start positions
+    slots: jnp.ndarray,        # (J,) target slots
+    samps: jnp.ndarray,        # (J, 3) temperature, top_p, rep_penalty
+    keys: jax.Array,           # (J,) per-request admission keys
+    is_audio: jnp.ndarray,     # (J,) bool
+    allowed: jnp.ndarray,      # (J,) int32 generation budgets
+    custom_stops: jnp.ndarray,  # (J, M) int32, -1 pad
+    *,
+    cfg: LlamaConfig,
+    hist_bucket: int,
+    sample: bool,
+    lenient: bool = False,
+):
+    """Chunked-prefill round for a LOCKSTEP group of J long prompts.
+
+    One dispatch instead of J (llama_prefill_chunk_batch); on final
+    chunks every job's first token is sampled from its own key chain.
+    """
+    J, C = tokens.shape
+    logits, cache = llama_prefill_chunk_batch(
+        params, tokens, cfg, dstate["cache"], offsets, slots, lengths,
+        hist_bucket=hist_bucket,
+    )
+    presence = dstate["presence"]
+    mask = jnp.arange(C)[None, :] < lengths[:, None]  # (J, C)
+    rows = presence[slots]  # (J, Vp)
+    rows = rows.at[jnp.arange(J)[:, None], tokens].set(
+        jnp.where(mask, True, rows[jnp.arange(J)[:, None], tokens])
+    )
+    presence = presence.at[slots].set(rows)
+
+    dstate = dict(dstate)
+    dstate["cache"] = cache
+    if not sample:
+        dstate["presence"] = presence
+        return dstate, jnp.full((J,), -1, jnp.int32)
+
+    pair = jax.vmap(lambda k: jax.random.split(k))(keys)  # (J, 2)
+    first = sample_logits(
+        logits,
+        pair[:, 0],
+        temperature=samps[:, 0],
+        top_p=samps[:, 1],
+        repetition_penalty=samps[:, 2],
+        presence=presence[slots],
+        vocab_size=cfg.vocab_size,
+    )  # (J,)
+    presence = presence.at[slots, first].set(True)
+    dstate["presence"] = presence
+    dstate["lengths"] = dstate["lengths"].at[slots].set(offsets + lengths)
+    dstate["last_tokens"] = dstate["last_tokens"].at[slots].set(first)
+    dstate["temp"] = dstate["temp"].at[slots].set(samps[:, 0])
+    dstate["top_p"] = dstate["top_p"].at[slots].set(samps[:, 1])
+    dstate["rep_pen"] = dstate["rep_pen"].at[slots].set(samps[:, 2])
+    dstate["active"] = dstate["active"].at[slots].set(allowed > 1)
+    dstate["remaining"] = dstate["remaining"].at[slots].set(allowed - 1)
+    dstate["is_audio"] = dstate["is_audio"].at[slots].set(is_audio)
+    dstate["custom_stops"] = dstate["custom_stops"].at[slots].set(custom_stops)
+    kd = jax.random.key_data
+    dstate["rng"] = jax.random.wrap_key_data(
+        kd(dstate["rng"]).at[slots].set(kd(pair[:, 1]))
+    )
+    if "ring" in dstate:
+        # first sampled codes enter the device ring exactly as a decode
+        # step's would: a (B,) token row with -1 for non-participating
+        # slots (ring_push ignores them via the is_audio/validity gates)
+        B = dstate["active"].shape[0]
+        toks_row = jnp.full((B,), -1, jnp.int32).at[slots].set(first)
+        dstate = _ring_push(dstate, toks_row, lenient)
     return dstate, first
 
 
@@ -749,7 +832,7 @@ class OrpheusEngine:
         return self._codec is not None
 
     def warmup(self, prompt_lens: Sequence[int] = (),
-               max_new_tokens: int = 0) -> int:
+               max_new_tokens: int = 0, burst: int = 1) -> int:
         """Pre-compile every serving program reachable for the given
         workload: prefill buckets, chunked-prefill (chunk, history-bucket)
         programs, the decode frame program for every context bucket a
@@ -763,6 +846,10 @@ class OrpheusEngine:
         ctx-512 row crossed into a cold bucket mid-row and spent ~40 s of
         its measured wall compiling).  vLLM warms its CUDA graphs at
         startup for the same reason.
+
+        ``burst`` warms the batched chunk-round program for simultaneous
+        long-prompt arrivals of that width (a cold burst admits in
+        lockstep and _advance_prefill batches each round J-wide).
 
         Runs each program once on the live (idle) slot table with every
         lane inactive — compute is dispatched but no slot state survives:
@@ -793,8 +880,9 @@ class OrpheusEngine:
         )
         programs = 0
 
+        burst = max(1, min(burst, self.ecfg.max_slots))
         prefill_buckets = set()
-        chunk_programs = set()  # (chunk_len_bucket, hist_bucket, sample)
+        chunk_programs = set()  # (chunk_len_bucket, hist_bucket, sample, J)
         decode_programs = set()  # (bucket, k)
         for L in prompt_lens:
             L = min(L, self.ecfg.max_seq_len - 4)
@@ -803,15 +891,19 @@ class OrpheusEngine:
             else:
                 chunk = self.ecfg.prefill_chunk
                 n_full = (L - 1) // chunk
+                js = {1} if burst == 1 else {1, burst}
                 for ci in range(n_full):
-                    chunk_programs.add(
-                        (chunk, self._hist_bucket((ci + 1) * chunk), False)
-                    )
+                    for j in js:
+                        chunk_programs.add(
+                            (chunk, self._hist_bucket((ci + 1) * chunk),
+                             False, j)
+                        )
                 rest = L - n_full * chunk
                 rb = _bucket_for(rest, self.ecfg.prefill_buckets)
-                chunk_programs.add(
-                    (rb, self._hist_bucket(n_full * chunk + rb), True)
-                )
+                for j in js:
+                    chunk_programs.add(
+                        (rb, self._hist_bucket(n_full * chunk + rb), True, j)
+                    )
             lag = n + n * k_max + 2
             start = min(L + lag, self.ecfg.max_seq_len)
             end = min(L + max_new_tokens + lag, self.ecfg.max_seq_len)
@@ -832,16 +924,33 @@ class OrpheusEngine:
                 cfg=self.cfg, lenient=self.ecfg.lenient_audio_codes,
             )
             programs += 1
-        for clen, hb, sample in sorted(chunk_programs):
-            self.dstate, _ = _prefill_chunk(
-                self.params, self.dstate,
-                jnp.asarray(np.zeros((clen,), np.int32)),
-                jnp.asarray(1, jnp.int32),
-                jnp.asarray(0, jnp.int32), slot0, samp, key,
-                is_audio, no_budget, stops,
-                cfg=self.cfg, hist_bucket=hb, sample=sample,
-                lenient=self.ecfg.lenient_audio_codes,
-            )
+        for clen, hb, sample, j in sorted(chunk_programs):
+            if j == 1:
+                self.dstate, _ = _prefill_chunk(
+                    self.params, self.dstate,
+                    jnp.asarray(np.zeros((clen,), np.int32)),
+                    jnp.asarray(1, jnp.int32),
+                    jnp.asarray(0, jnp.int32), slot0, samp, key,
+                    is_audio, no_budget, stops,
+                    cfg=self.cfg, hist_bucket=hb, sample=sample,
+                    lenient=self.ecfg.lenient_audio_codes,
+                )
+            else:
+                self.dstate, _ = _prefill_chunk_batch(
+                    self.params, self.dstate,
+                    jnp.asarray(np.zeros((j, clen), np.int32)),
+                    jnp.asarray(np.ones((j,), np.int32)),
+                    jnp.asarray(np.zeros((j,), np.int32)),
+                    jnp.asarray(np.arange(j, dtype=np.int32)),
+                    jnp.asarray(np.tile(np.asarray([0.6, 0.9, 1.1],
+                                                   np.float32), (j, 1))),
+                    jax.random.split(key, j),
+                    np.zeros((j,), bool),
+                    np.ones((j,), np.int32),
+                    np.full((j, _MAX_CUSTOM_STOPS), -1, np.int32),
+                    cfg=self.cfg, hist_bucket=hb, sample=sample,
+                    lenient=self.ecfg.lenient_audio_codes,
+                )
             programs += 1
         for b, k in sorted(decode_programs, key=lambda t: (t[0] or 0, t[1])):
             if self._codec is not None:
@@ -869,6 +978,7 @@ class OrpheusEngine:
             from ..codec.stream_decode import (
                 FRAME_TOKENS,
                 WINDOW_FRAMES,
+                reset_lanes,
                 snac_stream_step,
             )
 
@@ -881,7 +991,13 @@ class OrpheusEngine:
                 jnp.zeros((B,), bool),
                 cfg=snac_cfg,
             )
-            programs += 1
+            # admission resets the codec lane eagerly; unwarmed, its first
+            # run compiled mid-admission (measured ~10 s on the remote
+            # compiler: the whole first request's TTFA)
+            self._snac_state = reset_lanes(
+                self._snac_state, jnp.asarray(np.zeros((B,), bool))
+            )
+            programs += 2
         # wipe every trace of the warmup from the slot table (presence
         # rows, lengths, rings); KV garbage at position 0 is overwritten
         # by the next prefill into a slot before anything can read it
@@ -1046,13 +1162,14 @@ class OrpheusEngine:
             req.state = RequestState.DECODING
             self._pending_first.append((slot, req, first))
         else:
-            # long prompt: queue a chunked-prefill job; _advance_prefill
-            # dispatches one chunk now and at most one more per frame
+            # long prompt: queue a chunked-prefill job; the serving loop
+            # advances one chunk round per iteration.  Deliberately NOT
+            # advancing here: a burst admits all its jobs first, so they
+            # stay in lockstep and every round batches (_advance_prefill)
             self._prefill_jobs.append(
                 {"req": req, "slot": slot, "ids": list(ids), "samp": samp,
                  "offset": 0, "stops": stops, "key": req_key}
             )
-            self._advance_prefill()
 
     def _hist_bucket(self, need: int) -> int:
         """Smallest static history bucket covering ``need`` positions."""
@@ -1061,72 +1178,122 @@ class OrpheusEngine:
                 return b
         return self.ecfg.max_seq_len
 
+    def _job_next(self, job) -> tuple:
+        """Descriptor of a job's next dispatch: (phase, chunk_len, hist)."""
+        ids, offset = job["ids"], job["offset"]
+        chunk = self.ecfg.prefill_chunk
+        n_full = (len(ids) - 1) // chunk  # final chunk is never empty
+        if offset < n_full * chunk:
+            return ("full", chunk, self._hist_bucket(offset + chunk))
+        rb = _bucket_for(len(ids) - offset, self.ecfg.prefill_buckets)
+        return ("final", rb, self._hist_bucket(offset + rb))
+
     def _advance_prefill(self) -> None:
-        """Dispatch at most ONE chunk of the oldest chunked-prefill job.
+        """Dispatch at most ONE chunk round of the chunked-prefill jobs.
 
         Called once per loop iteration (between decode frames): each chunk
         attends to all previously written history, so the result equals a
-        single full-causal prefill — but co-batched streams pay at most one
-        chunk-time of cadence per frame while a long prompt admits
+        single full-causal prefill -- but co-batched streams pay at most
+        one chunk-round of cadence per frame while long prompts admit
         (vLLM-style chunked-prefill scheduling, engine_class.py:60-67).
-        On the final chunk the first token is sampled and its readback
-        deferred to _flush_first_tokens.
+
+        Jobs in LOCKSTEP -- the shape a simultaneous long-prompt burst
+        produces, since admission takes the whole backlog at cold start --
+        dispatch as ONE batched round (llama_prefill_chunk_batch): J
+        chunks for the price of one dispatch and much better MXU
+        utilisation than J sequential S=1024 programs.  Mixed-progress
+        jobs fall back to the oldest job's single-chunk program.  On
+        final chunks the first tokens are sampled and their readback
+        deferred to the next frame (_flush_first_tokens).
         """
-        while self._prefill_jobs:
-            job = self._prefill_jobs[0]
-            req, slot = job["req"], job["slot"]
-            if req.done or self._by_slot.get(slot) is not req:
-                self._prefill_jobs.pop(0)  # cancelled mid-prefill
-                continue
+        jobs = []
+        for job in self._prefill_jobs:
+            if (job["req"].done
+                    or self._by_slot.get(job["slot"]) is not job["req"]):
+                continue  # cancelled mid-prefill
+            jobs.append(job)
+        self._prefill_jobs = jobs
+        if not jobs:
+            return
+        phase, clen, hist = desc = self._job_next(jobs[0])
+        group = [j for j in jobs if self._job_next(j) == desc]
+        sample = phase == "final"
+
+        if len(group) == 1:
+            job = group[0]
             ids, offset = job["ids"], job["offset"]
-            chunk = self.ecfg.prefill_chunk
-            n_full = (len(ids) - 1) // chunk  # final chunk is never empty
-            slot_arr = jnp.asarray(slot, jnp.int32)
-            samp_arr = jnp.asarray(job["samp"])
-            if offset < n_full * chunk:
-                part = np.asarray(ids[offset : offset + chunk], np.int32)
-                self.dstate, _ = _prefill_chunk(
-                    self.params,
-                    self.dstate,
-                    jnp.asarray(part),
-                    jnp.asarray(chunk, jnp.int32),
-                    jnp.asarray(offset, jnp.int32),
-                    slot_arr,
-                    samp_arr,
-                    self._split_key(),
-                    np.asarray(req.audio),
-                    cfg=self.cfg,
-                    hist_bucket=self._hist_bucket(offset + chunk),
-                    sample=False,
-                    lenient=self.ecfg.lenient_audio_codes,
-                )
-                job["offset"] = offset + chunk
-                return
-            rest = ids[offset:]
-            bucket = _bucket_for(len(rest), self.ecfg.prefill_buckets)
-            padded = np.zeros((bucket,), np.int32)
-            padded[: len(rest)] = rest
+            part = ids[offset : offset + clen]
+            padded = np.zeros((clen,), np.int32)
+            padded[: len(part)] = part
             self.dstate, first = _prefill_chunk(
                 self.params,
                 self.dstate,
                 jnp.asarray(padded),
-                jnp.asarray(len(rest), jnp.int32),
+                jnp.asarray(len(part), jnp.int32),
                 jnp.asarray(offset, jnp.int32),
-                slot_arr,
-                samp_arr,
+                jnp.asarray(job["slot"], jnp.int32),
+                jnp.asarray(job["samp"]),
                 job["key"],
-                np.asarray(req.audio),
-                np.asarray(req.allowed, np.int32),
+                np.asarray(job["req"].audio),
+                np.asarray(job["req"].allowed, np.int32),
                 job["stops"],
                 cfg=self.cfg,
-                hist_bucket=self._hist_bucket(offset + bucket),
-                sample=True,
+                hist_bucket=hist,
+                sample=sample,
                 lenient=self.ecfg.lenient_audio_codes,
             )
-            req.state = RequestState.DECODING
-            self._pending_first.append((slot, req, first))
-            self._prefill_jobs.pop(0)
-            return
+            firsts = [first]
+        else:
+            J = len(group)
+            toks = np.zeros((J, clen), np.int32)
+            lens = np.zeros((J,), np.int32)
+            offs = np.zeros((J,), np.int32)
+            slots = np.zeros((J,), np.int32)
+            samps = np.zeros((J, 3), np.float32)
+            audio_f = np.zeros((J,), bool)
+            allowed = np.zeros((J,), np.int32)
+            stops = np.full((J, _MAX_CUSTOM_STOPS), -1, np.int32)
+            for idx, job in enumerate(group):
+                ids, offset = job["ids"], job["offset"]
+                part = ids[offset : offset + clen]
+                toks[idx, : len(part)] = part
+                lens[idx] = len(part)
+                offs[idx] = offset
+                slots[idx] = job["slot"]
+                samps[idx] = job["samp"]
+                audio_f[idx] = job["req"].audio
+                allowed[idx] = job["req"].allowed
+                stops[idx] = job["stops"]
+            self.dstate, firsts_arr = _prefill_chunk_batch(
+                self.params,
+                self.dstate,
+                jnp.asarray(toks),
+                jnp.asarray(lens),
+                jnp.asarray(offs),
+                jnp.asarray(slots),
+                jnp.asarray(samps),
+                jnp.stack([job["key"] for job in group]),
+                np.asarray(audio_f),
+                np.asarray(allowed),
+                stops,
+                cfg=self.cfg,
+                hist_bucket=hist,
+                sample=sample,
+                lenient=self.ecfg.lenient_audio_codes,
+            )
+            firsts = [firsts_arr[idx] for idx in range(J)]
+
+        if sample:
+            for job, first in zip(group, firsts):
+                job["req"].state = RequestState.DECODING
+                self._pending_first.append((job["slot"], job["req"], first))
+            done = set(id(j) for j in group)
+            self._prefill_jobs = [
+                j for j in self._prefill_jobs if id(j) not in done
+            ]
+        else:
+            for job in group:
+                job["offset"] += clen
 
     def _deliver(self, req: Request, token: int) -> None:
         """Route one sampled token to the request, handling stop conditions."""
@@ -1456,21 +1623,16 @@ class OrpheusEngine:
         loop = asyncio.get_running_loop()
         inflight = None  # (payload, slot snapshot, firsts, readback future)
         while not self._closed:
-            # Admission pacing: half the backlog per iteration (at least
-            # one).  A lone arrival admits immediately; an 8-stream burst
-            # admits 4+2+1+1 with a decode frame between groups, so the
-            # MEDIAN stream's first audio waits ~half the burst's prefill
-            # work instead of all of it (admit-everything measured TTFA
-            # p50 514 ms) while late streams still ramp in behind frames
-            # (admit-one measured p50 451 ms — the early streams' frames
-            # serialised ahead of the median stream's prefill).
-            n_admit = min(
-                len(self._free),
-                max(1, (self._pending.qsize() + 1) // 2),
-            )
-            for _ in range(n_admit):
-                if not self._free or self._pending.empty():
-                    break
+            # Admit the whole backlog (up to free slots).  Short prompts:
+            # the burst's prefills dispatch back-to-back BEFORE the next
+            # frame, so every stream's first audio waits total-prefill +
+            # one frame (~8x32+70 ms at ctx 512) — measured better at p50
+            # AND p95 than rationing admissions across frame iterations,
+            # because each rationed group waited out the earlier groups'
+            # frames too.  Long prompts: the burst's chunked-prefill jobs
+            # start in LOCKSTEP, which is what lets _advance_prefill batch
+            # every round into one J-wide chunk program.
+            while self._free and not self._pending.empty():
                 req = self._pending.get_nowait()
                 if req.state is not RequestState.CANCELLED:
                     self._admit(req)

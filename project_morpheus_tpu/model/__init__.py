@@ -22,6 +22,7 @@ from .llama import (
     llama_forward,
     llama_decode_step,
     llama_prefill_chunk,
+    llama_prefill_chunk_batch,
     init_kv_cache,
 )
 from .sampling import SamplingParams, sample_logits, init_sampler_state
@@ -34,6 +35,7 @@ __all__ = [
     "llama_forward",
     "llama_decode_step",
     "llama_prefill_chunk",
+    "llama_prefill_chunk_batch",
     "init_kv_cache",
     "SamplingParams",
     "sample_logits",

@@ -761,6 +761,132 @@ def llama_prefill_chunk(
     return logits, new_cache
 
 
+def llama_prefill_chunk_batch(
+    params: Params,
+    tokens: jnp.ndarray,   # (J, C) int32 — one chunk from each of J slots
+    cfg: LlamaConfig,
+    cache: KVCache,
+    offsets: jnp.ndarray,  # (J,) chunk start positions
+    slots: jnp.ndarray,    # (J,) target cache lanes
+    lengths: jnp.ndarray,  # (J,) real tokens in each (padded) chunk
+    *,
+    hist_bucket: int,      # static: attention reads cache[:hist_bucket]
+) -> Tuple[jnp.ndarray, KVCache]:
+    """One prompt chunk from EACH of J streams in a single program.
+
+    A simultaneous burst of long prompts (the reference's 8k n_ctx,
+    llama_local.py:45-46) used to admit as J x n_chunks sequential chunk
+    programs — each ~50% MXU at S=1024 and one dispatch apiece, so an
+    8 x 8k burst serialised ~6-10 s of admission before the median stream
+    heard audio.  Folding the J chunks into one batched program turns the
+    projections/MLP into (J*C, D) matmuls (deeper MXU pipelines) and pays
+    ONE dispatch per round; each stream's chunk still attends only to its
+    own slot's history via the same streaming-block attention, so the
+    result is bit-comparable to J sequential ``llama_prefill_chunk`` calls
+    (equivalence-tested).  Jobs must share the chunk width and history
+    bucket — the engine batches exactly the lockstep groups a cold burst
+    produces and falls back to the single-chunk program otherwise.
+
+    Returns the last REAL position's fp32 logits for every job
+    ``(J, padded_vocab)`` (callers use them only on final chunks) and the
+    updated cache.
+    """
+    J, C = tokens.shape
+    KV, HD = cfg.num_kv_heads, cfg.head_dim
+    G = cfg.num_heads // KV
+    quant = kv_cache_is_quantized(cache)
+    inv_freqs = rope_inv_freqs(cfg)
+    positions = offsets[:, None] + jnp.arange(C, dtype=jnp.int32)[None, :]
+    x = embed_lookup(params["embed"], tokens, dtype=params["ln_f"].dtype)
+
+    lp = params["layers"]
+
+    def layer_body(i, carry):
+        x, c = carry
+        wl = jax.tree.map(lambda a: a[i], lp)
+        h = rmsnorm(x, wl["ln1"], cfg.rms_eps)
+        q, k, v = _project_qkv(h, wl, cfg)  # (J, C, H/KV, HD)
+        q = apply_rope(q, positions, inv_freqs)
+        k = apply_rope(k, positions, inv_freqs)
+        if quant:
+            kq, ksc = quantize_kv(k)  # (J,C,KV,HD) int8, (J,C,KV) f32
+            vq, vsc = quantize_kv(v)
+            sc = jnp.concatenate([ksc, vsc], axis=-1)  # (J, C, 2*KV)
+            for j in range(J):
+                c["k"] = lax.dynamic_update_slice(
+                    c["k"], kq[j][None, None], (i, slots[j], offsets[j], 0, 0)
+                )
+                c["v"] = lax.dynamic_update_slice(
+                    c["v"], vq[j][None, None], (i, slots[j], offsets[j], 0, 0)
+                )
+                c["scale"] = lax.dynamic_update_slice(
+                    c["scale"], sc[j][None, None], (i, slots[j], offsets[j], 0)
+                )
+            k_hist, v_hist, ks_hist, vs_hist = [], [], [], []
+            for j in range(J):
+                k_hist.append(jnp.swapaxes(lax.dynamic_slice(
+                    c["k"], (i, slots[j], 0, 0, 0), (1, 1, hist_bucket, KV, HD)
+                )[0, 0], 0, 1))
+                v_hist.append(jnp.swapaxes(lax.dynamic_slice(
+                    c["v"], (i, slots[j], 0, 0, 0), (1, 1, hist_bucket, KV, HD)
+                )[0, 0], 0, 1))
+                sc_j = lax.dynamic_slice(
+                    c["scale"], (i, slots[j], 0, 0), (1, 1, hist_bucket, 2 * KV)
+                )[0, 0]
+                ks_hist.append(sc_j[:, :KV].T)
+                vs_hist.append(sc_j[:, KV:].T)
+            qg = q.reshape(J, C, KV, G, HD)
+            attn = jax.vmap(
+                lambda qg_, k_, v_, ks_, vs_, pos_: _chunk_streaming_attn(
+                    qg_, k_, v_, ks_, vs_, pos_, hist_bucket
+                )
+            )(qg, jnp.stack(k_hist), jnp.stack(v_hist),
+              jnp.stack(ks_hist), jnp.stack(vs_hist), positions)
+        else:
+            kh = jnp.swapaxes(k, 1, 2)  # (J, KV, C, HD)
+            vh = jnp.swapaxes(v, 1, 2)
+            for j in range(J):
+                c["k"] = lax.dynamic_update_slice(
+                    c["k"], kh[j].astype(c["k"].dtype)[None, None],
+                    (i, slots[j], 0, offsets[j], 0),
+                )
+                c["v"] = lax.dynamic_update_slice(
+                    c["v"], vh[j].astype(c["v"].dtype)[None, None],
+                    (i, slots[j], 0, offsets[j], 0),
+                )
+            k_hist = [lax.dynamic_slice(
+                c["k"], (i, slots[j], 0, 0, 0), (1, 1, KV, hist_bucket, HD)
+            )[0, 0] for j in range(J)]
+            v_hist = [lax.dynamic_slice(
+                c["v"], (i, slots[j], 0, 0, 0), (1, 1, KV, hist_bucket, HD)
+            )[0, 0] for j in range(J)]
+            qg = q.reshape(J, C, KV, G, HD)
+            attn = jax.vmap(
+                lambda qg_, k_, v_, pos_: _chunk_streaming_attn(
+                    qg_, k_, v_, None, None, pos_, hist_bucket
+                )
+            )(qg, jnp.stack(k_hist), jnp.stack(v_hist), positions)
+        attn = attn.reshape(J, C, cfg.num_heads * HD).astype(x.dtype)
+        x = x + matmul_maybe_quant(attn, wl["wo"])
+        h = rmsnorm(x, wl["ln2"], cfg.rms_eps)
+        x = x + _mlp(h, wl, cfg)
+        return x, c
+
+    x, new_cache = lax.fori_loop(
+        0, cfg.num_layers, layer_body, (x, dict(cache))
+    )
+    x_last = jnp.take_along_axis(
+        x, (lengths - 1)[:, None, None].astype(jnp.int32), axis=1
+    )[:, 0]  # (J, D)
+    x_last = rmsnorm(x_last, params["ln_f"], cfg.rms_eps)
+    head = params.get("lm_head")
+    if head is None:
+        logits = tied_lm_head_logits(x_last, params["embed"])
+    else:
+        logits = matmul_maybe_quant(x_last, head).astype(jnp.float32)
+    return logits, new_cache
+
+
 def llama_decode_step(
     params: Params,
     tokens: jnp.ndarray,  # (B,) int32 — one new token per slot

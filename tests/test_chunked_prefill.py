@@ -120,3 +120,114 @@ def test_engine_long_prompt_no_truncation(setup):
     req, toks = asyncio.run(go())
     assert req.ctx_len == 70  # longer than every prefill bucket, untruncated
     assert 1 <= len(toks) <= 10
+
+
+@pytest.mark.parametrize("cache_dtype", ["float32", "int8"])
+def test_batched_chunk_prefill_matches_sequential(setup, cache_dtype):
+    cfg, params = setup
+    """One batched J-stream chunk round must write the same cache and
+    produce the same final logits as J sequential single-chunk programs
+    (the burst-admission fast path; llama_prefill_chunk_batch)."""
+    import jax.numpy as jnp
+
+    from project_morpheus_tpu.model import (
+        init_kv_cache,
+        llama_prefill_chunk,
+        llama_prefill_chunk_batch,
+    )
+
+    rng = np.random.default_rng(7)
+    J, C, S = 2, 16, 64
+    prompts = rng.integers(1, cfg.vocab_size, size=(J, 40)).astype(np.int32)
+    dt = jnp.float32 if cache_dtype == "float32" else jnp.int8
+
+    # sequential reference
+    cache_a = init_kv_cache(cfg, J, S, dt)
+    logits_a = [None] * J
+    for lo, hist in ((0, 16), (16, 32)):
+        for j in range(J):
+            _, cache_a = llama_prefill_chunk(
+                params, jnp.asarray(prompts[j, lo : lo + C]), cfg, cache_a,
+                jnp.asarray(lo, jnp.int32), jnp.asarray(j, jnp.int32),
+                jnp.asarray(C, jnp.int32), hist_bucket=hist,
+            )
+    rest = np.zeros((J, C), np.int32)
+    rest[:, : 40 - 32] = prompts[:, 32:]
+    for j in range(J):
+        lg, cache_a = llama_prefill_chunk(
+            params, jnp.asarray(rest[j]), cfg, cache_a,
+            jnp.asarray(32, jnp.int32), jnp.asarray(j, jnp.int32),
+            jnp.asarray(40 - 32, jnp.int32), hist_bucket=64,
+        )
+        logits_a[j] = np.asarray(lg)
+
+    # batched
+    cache_b = init_kv_cache(cfg, J, S, dt)
+    for lo, hist in ((0, 16), (16, 32)):
+        _, cache_b = llama_prefill_chunk_batch(
+            params, jnp.asarray(prompts[:, lo : lo + C]), cfg, cache_b,
+            jnp.full((J,), lo, jnp.int32), jnp.arange(J, dtype=jnp.int32),
+            jnp.full((J,), C, jnp.int32), hist_bucket=hist,
+        )
+    logits_b, cache_b = llama_prefill_chunk_batch(
+        params, jnp.asarray(rest), cfg, cache_b,
+        jnp.full((J,), 32, jnp.int32), jnp.arange(J, dtype=jnp.int32),
+        jnp.full((J,), 40 - 32, jnp.int32), hist_bucket=64,
+    )
+
+    for key in cache_a:
+        np.testing.assert_allclose(
+            np.asarray(cache_a[key], np.float32),
+            np.asarray(cache_b[key], np.float32),
+            rtol=1e-4, atol=1e-4,
+            err_msg=f"cache[{key}] diverged",
+        )
+    np.testing.assert_allclose(
+        np.stack(logits_a), np.asarray(logits_b), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_long_prompt_burst_matches_solo_traces(setup):
+    """A burst of seeded long-prompt requests — admitted in lockstep and
+    prefilled through BATCHED chunk rounds — must reproduce each request's
+    solo trace exactly (the solo path uses the single-chunk program), so
+    the batched rounds are provably equivalent inside the live engine."""
+    from project_morpheus_tpu.engine import EngineConfig, OrpheusEngine
+    from project_morpheus_tpu.model.sampling import SamplingParams
+
+    cfg, params = setup
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(1, cfg.vocab_size, size=(70,)).tolist()
+               for _ in range(3)]
+
+    def engine():
+        return OrpheusEngine(params, cfg, EngineConfig(
+            max_slots=4, max_seq_len=256, prefill_buckets=(16, 32),
+            prefill_chunk=32, context_buckets=(64, 128, 256),
+            steps_per_sync=7, default_stop_ids=()))
+
+    def sp(i):
+        return SamplingParams(temperature=0.9, max_tokens=10,
+                              stop_token_ids=(), seed=100 + i)
+
+    async def solo(i):
+        eng = engine()
+        req = await eng.submit(prompts[i], sp(i))
+        toks = [t async for t in req.tokens()]
+        await eng.close()
+        return toks
+
+    async def burst():
+        eng = engine()
+        reqs = [await eng.submit(prompts[i], sp(i)) for i in range(3)]
+        outs = []
+        for r in reqs:
+            outs.append([t async for t in r.tokens()])
+        await eng.close()
+        return outs
+
+    solos = [asyncio.run(solo(i)) for i in range(3)]
+    bursts = asyncio.run(burst())
+    for i, (a, b) in enumerate(zip(solos, bursts)):
+        assert len(a) == 10
+        assert a == b, f"stream {i}: burst trace {b} != solo {a}"

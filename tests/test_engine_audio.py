@@ -246,6 +246,7 @@ def test_warmup_precompiles_every_serving_program(setup):
             max_slots=2,
             max_seq_len=256,
             prefill_buckets=(16, 32),
+            prefill_chunk=32,
             context_buckets=(64, 128, 256),
             steps_per_sync=7,
             frames_per_dispatch=2,
@@ -255,12 +256,14 @@ def test_warmup_precompiles_every_serving_program(setup):
         codec=(snac_params, snac_cfg),
         seed=5,
     )
-    # ctx 20 + 100 new tokens crosses the 128 and 256 context buckets
-    n_programs = eng.warmup(prompt_lens=[20], max_new_tokens=100)
-    assert n_programs >= 4  # prefill + >=2 (bucket, k) pairs + flush hop
+    # ctx 20 + 100 new tokens crosses the 128 and 256 context buckets;
+    # ctx 80 takes the CHUNKED prefill path (2 full 32-chunks + rest)
+    n_programs = eng.warmup(prompt_lens=[20, 80], max_new_tokens=100)
+    assert n_programs >= 6  # prefills + chunks + (bucket, k) pairs + flush
 
     kernels = [
         eng_mod._prefill,
+        eng_mod._prefill_chunk,
         eng_mod._decode_audio_multi,
         eng_mod._release,
     ]
@@ -270,6 +273,11 @@ def test_warmup_precompiles_every_serving_program(setup):
         sp = SamplingParams(temperature=0.9, max_tokens=100, stop_token_ids=())
         req = await eng.submit(list(range(10, 30)), sp, audio=True)
         async for _ in req.pcm_chunks():
+            pass
+        # chunked-prefill admission must also be fully pre-compiled
+        sp2 = SamplingParams(temperature=0.9, max_tokens=60, stop_token_ids=())
+        req2 = await eng.submit(list(range(10, 90)), sp2, audio=True)
+        async for _ in req2.pcm_chunks():
             pass
         await eng.close()
 
