@@ -46,6 +46,24 @@ class Client:
                     except json.JSONDecodeError:
                         continue
 
+    async def speak(self, text: str, voice: Optional[str] = None) -> int:
+        """Stream synthesis to the LOCAL audio device (optional PortAudio
+        peripheral, reference inference.py:226-242); returns bytes played.
+        Headless environments count bytes but stay silent."""
+        from ..utils.playback import LocalPlayback
+
+        player = LocalPlayback()
+        try:
+            first = True
+            async for chunk in self.stream_rest(text, voice):
+                if first:
+                    chunk = chunk[44:] if chunk[:4] == b"RIFF" else chunk
+                    first = False
+                player.play(chunk)
+            return player.bytes_played
+        finally:
+            player.close()
+
     async def barge_in(self) -> bool:
         async with httpx.AsyncClient() as client:
             resp = await client.post(f"{self.base_url}/barge-in")

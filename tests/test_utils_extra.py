@@ -93,3 +93,24 @@ def test_pr_triage_classify():
     assert classify(["project_morpheus_tpu/model/llama.py"]) == "aligned"
     assert classify(["archive/old.py"]) == "deprecated"
     assert classify(["random.txt"]) == "needs-review"
+
+
+def test_local_playback_degrades_without_device():
+    """Optional local playback (reference inference.py:226-242): absent
+    PortAudio must degrade to counted no-ops, never raise."""
+    from project_morpheus_tpu.utils import playback
+
+    # stream_audio mirrors the reference contract
+    assert playback.stream_audio(b"") is False
+    assert playback.stream_audio(None) is False
+    pcm = (np.sin(np.linspace(0, 440, 2048)) * 2000).astype(np.int16).tobytes()
+    played = playback.stream_audio(pcm)
+    assert played is playback.playback_available()
+
+    player = playback.LocalPlayback()
+    player.play(pcm)
+    player.play(b"")
+    player.play(pcm)
+    assert player.bytes_played == 2 * len(pcm)
+    player.close()
+    assert player.available is False
