@@ -19,7 +19,8 @@ Orpheus-TTS/README.md:21 — one stream, a sentence-length prompt).
 
 Plus:
 - frame cadence while an 8k prompt admits mid-stream (chunked prefill
-  interleaves one chunk per frame): p95 hop gap during admission vs steady.
+  interleaves one chunk round per frame): p95 hop gap during admission vs
+  steady.  Simultaneous long-prompt bursts batch each round J-wide.
 - int8-KV A/B at the 8k row (cache_dtype="int8" halves KV HBM traffic).
 
 Random weights stand in for the checkpoint; the embedding rows of the
