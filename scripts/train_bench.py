@@ -36,6 +36,85 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+def run_single(S: int, grad_groups: int, iters: int) -> int:
+    """Run ONE configuration and print its JSON result (or exit 17 on OOM).
+
+    Each ladder attempt runs in its own subprocess: a failed attempt's
+    exception traceback pins device buffers in the parent, so an in-process
+    ladder OOMs every subsequent attempt too (observed).
+    """
+    import os
+
+    plat = os.environ.get("TRAIN_BENCH_PLATFORM")
+    import jax
+
+    if plat:  # the axon plugin ignores JAX_PLATFORMS; use the config knob
+        jax.config.update("jax_platforms", plat)
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from project_morpheus_tpu.model import LlamaConfig, init_llama_params
+    from project_morpheus_tpu.training.pretrain import (
+        group_layer_params,
+        make_grouped_grad_step,
+        make_train_step,
+    )
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = LlamaConfig.orpheus_3b() if on_tpu else LlamaConfig.tiny_vocab()
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    B = 1 if on_tpu else 2
+    optimizer = optax.adafactor(learning_rate=1e-5, clipping_threshold=1.0)
+    params = init_llama_params(cfg, jax.random.key(0), dtype=dtype)
+    if grad_groups:
+        params = group_layer_params(params, grad_groups)
+        step_fn = make_grouped_grad_step(
+            cfg, optimizer, grad_groups, attn_impl="auto", remat="auto"
+        )
+    else:
+        step_fn = make_train_step(cfg, optimizer, attn_impl="auto",
+                                  remat="auto")
+    opt_state = optimizer.init(params)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(10, 100_000 if on_tpu else 900, size=(B, S))
+    batch = {
+        "input_ids": jnp.asarray(ids, jnp.int32),
+        "attention_mask": jnp.ones((B, S), bool),
+        "labels": jnp.asarray(ids, jnp.int32),
+    }
+    try:
+        params, opt_state, loss = step_fn(params, opt_state, batch)
+        loss_val = float(loss)
+        import time as _t
+        t0 = _t.perf_counter()
+        for _ in range(iters):
+            params, opt_state, loss = step_fn(params, opt_state, batch)
+        loss_val = float(loss)
+        step_s = (_t.perf_counter() - t0) / iters
+    except Exception as exc:
+        print(json.dumps({"oom": True, "error": type(exc).__name__}))
+        return 17
+    stats = jax.local_devices()[0].memory_stats() or {}
+    peak = stats.get("peak_bytes_in_use")
+    print(json.dumps({
+        "recipe": ("3b_bf16_blockwise_remat_single_chip" if on_tpu
+                   else "tiny_cpu_smoke"),
+        "platform": jax.default_backend(),
+        "batch": B,
+        "seq_len": S,
+        "grad_groups": grad_groups,
+        "optimizer": "adafactor (AdamW needs >=8-device FSDP; see "
+                     "dryrun_multichip)",
+        "step_ms": round(step_s * 1000, 1),
+        "tokens_per_s": round(B * S / step_s, 1),
+        "loss": round(loss_val, 4),
+        "peak_hbm_gib": round(peak / 2**30, 2) if peak else None,
+        "reference": "Orpheus-TTS/pretrain/train.py:142",
+    }))
+    return 0
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
@@ -63,61 +142,30 @@ def main() -> int:
         ladder = [(128, 0)]
         iters = 2
 
-    optimizer = optax.adafactor(learning_rate=1e-5, clipping_threshold=1.0)
+    import os
+    import subprocess
+
+    env = dict(os.environ, TRAIN_BENCH_PLATFORM=jax.default_backend())
     attempts = []
     result = None
     for S, grad_groups in ladder:
-        B = 1 if on_tpu else 2
-        params = init_llama_params(cfg, jax.random.key(0), dtype=dtype)
-        if grad_groups:
-            params = group_layer_params(params, grad_groups)
-            step_fn = make_grouped_grad_step(
-                cfg, optimizer, grad_groups, attn_impl="auto", remat="auto"
-            )
-        else:
-            step_fn = make_train_step(cfg, optimizer, attn_impl="auto",
-                                      remat="auto")
-        opt_state = optimizer.init(params)
-        rng = np.random.default_rng(0)
-        ids = rng.integers(10, 100_000 if on_tpu else 900, size=(B, S))
-        batch = {
-            "input_ids": jnp.asarray(ids, jnp.int32),
-            "attention_mask": jnp.ones((B, S), bool),
-            "labels": jnp.asarray(ids, jnp.int32),
-        }
+        proc = subprocess.run(
+            [sys.executable, __file__, "--single", str(S), str(grad_groups),
+             str(iters)],
+            capture_output=True, text=True, timeout=3000, env=env,
+        )
+        line = (proc.stdout.strip().splitlines() or ["{}"])[-1]
         try:
-            params, opt_state, loss = step_fn(params, opt_state, batch)
-            loss_val = float(loss)  # compile + first step
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                params, opt_state, loss = step_fn(params, opt_state, batch)
-            loss_val = float(loss)
-            step_s = (time.perf_counter() - t0) / iters
-        except Exception as exc:
-            attempts.append({
-                "seq_len": S, "grad_groups": grad_groups,
-                "status": f"OOM/{type(exc).__name__}",
-            })
-            del params, opt_state, step_fn, batch
-            continue
-        stats = jax.local_devices()[0].memory_stats() or {}
-        peak = stats.get("peak_bytes_in_use")
-        result = {
-            "recipe": ("3b_bf16_blockwise_remat_single_chip" if on_tpu
-                       else "tiny_cpu_smoke"),
-            "platform": jax.default_backend(),
-            "batch": B,
-            "seq_len": S,
-            "grad_groups": grad_groups,
-            "optimizer": "adafactor (AdamW needs >=8-device FSDP; see "
-                         "dryrun_multichip)",
-            "step_ms": round(step_s * 1000, 1),
-            "tokens_per_s": round(B * S / step_s, 1),
-            "loss": round(loss_val, 4),
-            "peak_hbm_gib": round(peak / 2**30, 2) if peak else None,
-            "reference": "Orpheus-TTS/pretrain/train.py:142",
-        }
-        break
+            payload = json.loads(line)
+        except json.JSONDecodeError:
+            payload = {"oom": True, "error": "crash"}
+        if proc.returncode == 0 and not payload.get("oom"):
+            result = payload
+            break
+        attempts.append({
+            "seq_len": S, "grad_groups": grad_groups,
+            "status": f"OOM/{payload.get('error', 'unknown')}",
+        })
 
     out = {
         "attempts_that_did_not_fit": attempts,
@@ -139,4 +187,7 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--single":
+        raise SystemExit(run_single(int(sys.argv[2]), int(sys.argv[3]),
+                                    int(sys.argv[4])))
     raise SystemExit(main())
