@@ -93,7 +93,8 @@ def run_single(S: int, grad_groups: int, iters: int) -> int:
         loss_val = float(loss)
         step_s = (_t.perf_counter() - t0) / iters
     except Exception as exc:
-        print(json.dumps({"oom": True, "error": type(exc).__name__}))
+        print(json.dumps({"oom": True, "error": type(exc).__name__,
+                          "detail": str(exc)[:400]}))
         return 17
     stats = jax.local_devices()[0].memory_stats() or {}
     peak = stats.get("peak_bytes_in_use")
@@ -145,26 +146,37 @@ def main() -> int:
     import os
     import subprocess
 
-    env = dict(os.environ, TRAIN_BENCH_PLATFORM=jax.default_backend())
+    env = dict(os.environ)
+    if jax.default_backend() == "cpu":
+        # only the CPU override propagates: the axon TPU plugin registers
+        # under its own platform name and must self-select in children
+        env["TRAIN_BENCH_PLATFORM"] = "cpu"
     attempts = []
     result = None
     for S, grad_groups in ladder:
-        proc = subprocess.run(
-            [sys.executable, __file__, "--single", str(S), str(grad_groups),
-             str(iters)],
-            capture_output=True, text=True, timeout=3000, env=env,
-        )
-        line = (proc.stdout.strip().splitlines() or ["{}"])[-1]
-        try:
-            payload = json.loads(line)
-        except json.JSONDecodeError:
-            payload = {"oom": True, "error": "crash"}
+        payload = {}
+        for _try in range(2):  # the remote compile helper fails transiently
+            proc = subprocess.run(
+                [sys.executable, __file__, "--single", str(S),
+                 str(grad_groups), str(iters)],
+                capture_output=True, text=True, timeout=3000, env=env,
+            )
+            line = (proc.stdout.strip().splitlines() or ["{}"])[-1]
+            try:
+                payload = json.loads(line)
+            except json.JSONDecodeError:
+                payload = {"oom": True, "error": "crash"}
+            if proc.returncode == 0 and not payload.get("oom"):
+                break
         if proc.returncode == 0 and not payload.get("oom"):
             result = payload
             break
+        detail = payload.get("detail", "")
+        status = ("remote-compile-helper-failure"
+                  if "remote_compile" in detail else
+                  f"OOM/{payload.get('error', 'unknown')}")
         attempts.append({
-            "seq_len": S, "grad_groups": grad_groups,
-            "status": f"OOM/{payload.get('error', 'unknown')}",
+            "seq_len": S, "grad_groups": grad_groups, "status": status,
         })
 
     out = {
