@@ -1623,19 +1623,36 @@ class OrpheusEngine:
         loop = asyncio.get_running_loop()
         inflight = None  # (payload, slot snapshot, firsts, readback future)
         while not self._closed:
-            # Admit the whole backlog (up to free slots).  Short prompts:
-            # the burst's prefills dispatch back-to-back BEFORE the next
-            # frame, so every stream's first audio waits total-prefill +
-            # one frame (~8x32+70 ms at ctx 512) — measured better at p50
-            # AND p95 than rationing admissions across frame iterations,
-            # because each rationed group waited out the earlier groups'
-            # frames too.  Long prompts: the burst's chunked-prefill jobs
-            # start in LOCKSTEP, which is what lets _advance_prefill batch
-            # every round into one J-wide chunk program.
-            while self._free and not self._pending.empty():
-                req = self._pending.get_nowait()
-                if req.state is not RequestState.CANCELLED:
-                    self._admit(req)
+            # Admission policy by prompt type.  LONG prompts admit ALL at
+            # once: they only queue chunked-prefill jobs, and simultaneous
+            # jobs stay in LOCKSTEP so _advance_prefill batches every
+            # round J-wide (measured: 8x8k burst TTFA p95 10.4 -> 8.1 s).
+            # SHORT prompts dispatch a whole prefill program at admission,
+            # so they are PACED at half the backlog per iteration — the
+            # median stream's first audio waits ~half the burst's prefill
+            # work instead of all of it (admit-all measured TTFA
+            # p50=p95=705 ms vs 428/560 paced, ctx-512 burst of 8).
+            if self._free and not self._pending.empty():
+                backlog = []
+                while not self._pending.empty():
+                    backlog.append(self._pending.get_nowait())
+                top_bucket = max(self.ecfg.prefill_buckets)
+                short_quota = max(1, (len(backlog) + 1) // 2)
+                deferred = []
+                for req in backlog:
+                    if req.state is RequestState.CANCELLED:
+                        continue
+                    if not self._free:
+                        deferred.append(req)
+                    elif len(req.prompt_ids) > top_bucket:
+                        self._admit(req)
+                    elif short_quota > 0:
+                        self._admit(req)
+                        short_quota -= 1
+                    else:
+                        deferred.append(req)
+                for req in deferred:
+                    self._pending.put_nowait(req)
 
             if not self._by_slot:
                 inflight = await self._drain(inflight)
