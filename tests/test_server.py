@@ -238,3 +238,17 @@ def test_speech_e2e_real_jax_tiny_engine(monkeypatch):
 
     pcm = np.frombuffer(body[44:], np.int16)
     assert pcm.size >= 2048, "real engine produced no audio through the server"
+
+
+def test_client_speak_streams_to_local_playback():
+    """Client.speak() routes a synthesis stream into the local playback
+    peripheral (headless: counted no-ops), stripping the RIFF header."""
+    from project_morpheus_tpu.server.client import Client
+
+    async def fn(client):
+        sdk = Client(base_url=str(client.make_url("")))
+        return await sdk.speak("hello there")
+
+    played = _with_client(fn)
+    assert played > 0
+    assert played % 2 == 0  # whole int16 samples, header stripped
