@@ -202,67 +202,6 @@ def _post_step(dstate, toks, stop_ids: Tuple[int, ...]):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "lenient"), donate_argnums=(1,)
-)
-def _prefill(
-    params,
-    dstate,
-    tokens: jnp.ndarray,      # (1, S) padded prompt
-    length: jnp.ndarray,      # () real length
-    slot: jnp.ndarray,        # () target slot
-    samp: jnp.ndarray,        # (3,) temperature, top_p, repetition_penalty
-    key: jax.Array,
-    is_audio: jnp.ndarray = False,  # () bool — audio-mode request
-    allowed: jnp.ndarray = 2**30,   # () int32 total generation budget
-    custom_stops: jnp.ndarray = _NO_CUSTOM_STOPS,  # (M,) int32, -1 pad
-    *,
-    cfg: LlamaConfig,
-    lenient: bool = False,
-):
-    """Write one prompt into ``slot`` and sample the first token."""
-    S = tokens.shape[1]
-    mask = jnp.arange(S)[None, :] < length
-    logits, cache = llama_forward(
-        params,
-        tokens,
-        cfg,
-        attn_mask=mask,
-        cache=dstate["cache"],
-        cache_offset=jnp.zeros((1,), jnp.int32),
-        cache_slots=slot[None],
-    )
-    last_logits = logits[0, length - 1][None]  # (1, Vp)
-
-    # mark prompt tokens seen for the repetition penalty
-    presence = dstate["presence"]
-    row = presence[slot]
-    row = row.at[tokens[0]].set(jnp.where(mask[0], True, row[tokens[0]]))
-    presence = presence.at[slot].set(row)
-
-    use, nxt = jax.random.split(key)
-    first = sample_logits(
-        last_logits,
-        use,
-        temperature=samp[0][None],
-        top_p=samp[1][None],
-        repetition_penalty=samp[2][None],
-        presence=presence[slot][None],
-        vocab_size=cfg.vocab_size,
-    )[0]
-    presence = presence.at[slot, first].set(True)
-
-    dstate = dict(dstate)
-    dstate["cache"] = cache
-    dstate["presence"] = presence
-    dstate["lengths"] = dstate["lengths"].at[slot].set(length)
-    dstate["last_tokens"] = dstate["last_tokens"].at[slot].set(first)
-    dstate = _seed_slot_state(dstate, slot, samp, allowed, is_audio,
-                              custom_stops, nxt)
-    dstate = _ring_seed(dstate, slot, first, is_audio, lenient)
-    return dstate, first
-
-
-@functools.partial(
     jax.jit,
     static_argnames=("cfg", "hist_bucket", "sample", "lenient"),
     donate_argnums=(1,),
@@ -881,26 +820,32 @@ class OrpheusEngine:
         programs = 0
 
         burst = max(1, min(burst, self.ecfg.max_slots))
-        prefill_buckets = set()
         chunk_programs = set()  # (chunk_len_bucket, hist_bucket, sample, J)
         decode_programs = set()  # (bucket, k)
+        # admission pacing dispatches SHORT bursts in halving group sizes
+        # (4, 2, 1 for a backlog of 8); warm every reachable group width
+        short_js = {1} | set(range(2, max(2, (burst + 1) // 2) + 1))
+        long_js = {1} if burst == 1 else {1, burst}
         for L in prompt_lens:
             L = min(L, self.ecfg.max_seq_len - 4)
             if L <= top_bucket:
-                prefill_buckets.add(_bucket_for(L, self.ecfg.prefill_buckets))
+                rb = _bucket_for(L, self.ecfg.prefill_buckets)
+                for j in short_js:
+                    chunk_programs.add(
+                        (rb, self._hist_bucket(rb), True, j)
+                    )
             else:
                 chunk = self.ecfg.prefill_chunk
                 n_full = (L - 1) // chunk
-                js = {1} if burst == 1 else {1, burst}
                 for ci in range(n_full):
-                    for j in js:
+                    for j in long_js:
                         chunk_programs.add(
                             (chunk, self._hist_bucket((ci + 1) * chunk),
                              False, j)
                         )
                 rest = L - n_full * chunk
                 rb = _bucket_for(rest, self.ecfg.prefill_buckets)
-                for j in js:
+                for j in long_js:
                     chunk_programs.add(
                         (rb, self._hist_bucket(n_full * chunk + rb), True, j)
                     )
@@ -915,15 +860,6 @@ class OrpheusEngine:
                 if b >= end:
                     break
 
-        for b in sorted(prefill_buckets):
-            self.dstate, _ = _prefill(
-                self.params, self.dstate,
-                jnp.asarray(np.zeros((1, b), np.int32)),
-                jnp.asarray(1, jnp.int32),
-                slot0, samp, key, is_audio, no_budget, stops,
-                cfg=self.cfg, lenient=self.ecfg.lenient_audio_codes,
-            )
-            programs += 1
         for clen, hb, sample, j in sorted(chunk_programs):
             if j == 1:
                 self.dstate, _ = _prefill_chunk(
@@ -1135,41 +1071,18 @@ class OrpheusEngine:
             ],
             np.float32,
         )
-        top_bucket = max(self.ecfg.prefill_buckets)
-        if len(ids) <= top_bucket:
-            # single-shot prefill (intra-prompt causal program)
-            bucket = _bucket_for(len(ids), self.ecfg.prefill_buckets)
-            padded = np.zeros((1, bucket), np.int32)
-            padded[0, : len(ids)] = ids
-            self.dstate, first = _prefill(
-                self.params,
-                self.dstate,
-                jnp.asarray(padded),
-                jnp.asarray(len(ids), jnp.int32),
-                jnp.asarray(slot, jnp.int32),
-                jnp.asarray(samp),
-                req_key,
-                np.asarray(req.audio),
-                np.asarray(req.allowed, np.int32),
-                stops,
-                cfg=self.cfg,
-                lenient=self.ecfg.lenient_audio_codes,
-            )
-            # Do NOT force a readback here: the prefill is dispatched, the
-            # slot is active on device, and the sampled first token is read
-            # back with the next frame (_flush_first_tokens) so one
-            # admission never stalls the co-batched streams' frame cadence.
-            req.state = RequestState.DECODING
-            self._pending_first.append((slot, req, first))
-        else:
-            # long prompt: queue a chunked-prefill job; the serving loop
-            # advances one chunk round per iteration.  Deliberately NOT
-            # advancing here: a burst admits all its jobs first, so they
-            # stay in lockstep and every round batches (_advance_prefill)
-            self._prefill_jobs.append(
-                {"req": req, "slot": slot, "ids": list(ids), "samp": samp,
-                 "offset": 0, "stops": stops, "key": req_key}
-            )
+        # EVERY prompt becomes a chunked-prefill job — a short prompt is
+        # simply a single offset-0 chunk whose history bucket is its own
+        # prefill bucket, so one prefill family serves all lengths and
+        # _advance_prefill batches same-shape admissions J-wide (a J=4
+        # batched round measured ~25 ms/prompt vs ~50 ms for the former
+        # dedicated single-shot program).  Deliberately no dispatch here:
+        # a burst admits all its jobs first, so the group stays in
+        # lockstep and the next round covers it in ONE program.
+        self._prefill_jobs.append(
+            {"req": req, "slot": slot, "ids": list(ids), "samp": samp,
+             "offset": 0, "stops": stops, "key": req_key}
+        )
 
     def _hist_bucket(self, need: int) -> int:
         """Smallest static history bucket covering ``need`` positions."""

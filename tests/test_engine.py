@@ -335,9 +335,14 @@ def test_long_admission_interleaves_chunks_with_frames(params, cfg, monkeypatch)
     long_out, live_out = _run(go())
     assert len(long_out) == 3           # the long prompt decoded fine
     assert len(live_out) >= 7           # the live stream kept flowing
-    # cadence invariant: chunks never ran back-to-back while live decoded
+    # cadence invariant: chunks never ran back-to-back while live decoded.
+    # The FIRST chunk is the live stream's own admission (every prompt now
+    # takes the unified chunk path); the long prompt contributes 5 more
+    # (4 full 16-token chunks + the sampling chunk), each separated from
+    # the next by at least one decode frame.
     chunk_idx = [i for i, e in enumerate(events) if e == "chunk"]
-    assert len(chunk_idx) == 5
+    assert len(chunk_idx) == 6
+    chunk_idx = chunk_idx[1:]
     for a, b in zip(chunk_idx, chunk_idx[1:]):
         assert any(e == "frame" for e in events[a + 1 : b]), (
             f"prefill chunks at {a} and {b} dispatched with no decode "

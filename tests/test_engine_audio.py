@@ -262,8 +262,8 @@ def test_warmup_precompiles_every_serving_program(setup):
     assert n_programs >= 6  # prefills + chunks + (bucket, k) pairs + flush
 
     kernels = [
-        eng_mod._prefill,
         eng_mod._prefill_chunk,
+        eng_mod._prefill_chunk_batch,
         eng_mod._decode_audio_multi,
         eng_mod._release,
     ]
