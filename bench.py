@@ -92,9 +92,16 @@ async def _run_row(engine, n_streams, ctx, max_tokens, sampling_cls):
             (b - a) * 1000.0 for a, b in zip(ts, ts[1:])
         )
     audio_s = sum(o["bytes"] for o in outs) / 2 / SR
+    # the engine clamps each stream's budget to its context headroom
+    # (max_seq_len - margin - ctx); record the effective number so rows
+    # near the context limit (ctx 8000 in an 8192 window -> 190 tokens)
+    # are self-describing instead of implying the nominal budget ran
+    eff_budget = min(max_tokens, engine.ecfg.max_seq_len - 2 - ctx)
     return {
         "ctx": ctx,
         "streams": n_streams,
+        "tokens_requested": max_tokens,
+        "tokens_effective": eff_budget,
         "audio_s_delivered": round(audio_s, 2),
         "wall_s": round(wall, 3),
         "rtf": round(audio_s / wall, 3) if wall > 0 else 0.0,
@@ -176,8 +183,12 @@ def main() -> None:
         # bf16-KV engine: 8 slots x 4096 ctx (8 x 8192 bf16 KV would be
         # ~15 GiB cache + 3.3 GiB int8 weights > 16 GiB HBM — the 8k
         # serving posture at batch 8 REQUIRES the int8 KV cache)
-        # 560 tokens = 80 frames/stream: the row's wall-clock is dominated
-        # by the steady multi-frame cadence, not the admission ramp
+        # 560 tokens = 80 frames/stream: those rows' wall-clock is
+        # dominated by the steady multi-frame cadence, not the admission
+        # ramp.  The ctx-8000 row is the EXCEPTION: the engine clamps its
+        # budget to the 8192-window headroom (190 tokens = 27 frames), so
+        # that row measures the admission wall + a short decode tail —
+        # each row's tokens_effective field records the real budget.
         bf16_max_seq, bf16_rows_spec = 4096, [(512, 560), (2048, 560)]
         int8_max_seq, int8_rows_spec = 8192, [(2048, 560), (8000, 560)]
         n_streams = 8

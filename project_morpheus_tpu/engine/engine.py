@@ -995,6 +995,25 @@ class OrpheusEngine:
         self._key, sub = jax.random.split(self._key)
         return sub
 
+    def _guarded_admit(self, req: Request) -> None:
+        """Admit one request; an admission failure fails THAT request
+        (error state + closed streams) instead of crashing the engine
+        task — a crash would stall every co-batched stream and leave the
+        drained backlog's consumers hanging forever."""
+        try:
+            self._admit(req)
+        except Exception:
+            logger.exception(
+                "admission failed for request %s; failing it and "
+                "continuing to serve", req.request_id,
+            )
+            if req.slot is not None:
+                self._evict(req.slot)
+            req.state = RequestState.CANCELLED
+            req.token_queue.put_nowait(None)
+            if req.audio:
+                req.pcm_queue.put_nowait(None)
+
     def _evict(self, slot: int) -> None:
         mask = np.zeros((self.ecfg.max_slots,), bool)
         mask[slot] = True
@@ -1004,6 +1023,17 @@ class OrpheusEngine:
             self._free.append(slot)
 
     def _admit(self, req: Request) -> None:
+        # the admission key seeds the slot's whole sampling chain: a
+        # seeded request replays its exact trace on any engine, under any
+        # co-batch (the adapter descriptor advertises supports_seed).
+        # Seeds fold into uint32 range (negative / >=2**32 values would
+        # overflow np.uint32 under NumPy 2); built FIRST so any failure
+        # here leaves the slot table untouched (_fail_admission covers
+        # the loop).
+        if req.sampling.seed is not None:
+            req_key = jax.random.key(int(req.sampling.seed) & 0xFFFFFFFF)
+        else:
+            req_key = self._split_key()
         slot = self._free.pop()
         req.slot = slot
         req.state = RequestState.PREFILLING
@@ -1056,13 +1086,6 @@ class OrpheusEngine:
             custom = custom[:_MAX_CUSTOM_STOPS]
         stops = np.full((_MAX_CUSTOM_STOPS,), -1, np.int32)
         stops[: len(custom)] = custom
-        # the admission key seeds the slot's whole sampling chain: a
-        # seeded request replays its exact trace on any engine, under any
-        # co-batch (the adapter descriptor advertises supports_seed)
-        if req.sampling.seed is not None:
-            req_key = jax.random.key(np.uint32(req.sampling.seed))
-        else:
-            req_key = self._split_key()
         samp = np.asarray(
             [
                 req.sampling.temperature,
@@ -1558,9 +1581,9 @@ class OrpheusEngine:
                     if not self._free:
                         deferred.append(req)
                     elif len(req.prompt_ids) > top_bucket:
-                        self._admit(req)
+                        self._guarded_admit(req)
                     elif short_quota > 0:
-                        self._admit(req)
+                        self._guarded_admit(req)
                         short_quota -= 1
                     else:
                         deferred.append(req)

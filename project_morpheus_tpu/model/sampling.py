@@ -119,6 +119,15 @@ def sample_logits(
         hi = jnp.where(keep, hi, mid)
     nucleus = jnp.where(probs >= lo[:, None], scaled, -jnp.inf)
 
+    if not jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        # a raw uint32 PRNGKey has shape (2,) — ndim 1, exactly like a
+        # 2-slot typed-key batch — so shape dispatch on raw keys would
+        # silently draw wrong samples; demand typed keys (jax.random.key)
+        raise TypeError(
+            "sample_logits requires typed PRNG keys (jax.random.key / "
+            "jax.random.split of one); wrap raw uint32 key data with "
+            "jax.random.wrap_key_data first"
+        )
     if key.ndim == 1:  # (B,) per-slot keys: independent draw per lane
         sampled = jax.vmap(jax.random.categorical)(key, nucleus)
     else:

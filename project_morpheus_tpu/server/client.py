@@ -54,12 +54,24 @@ class Client:
 
         player = LocalPlayback()
         try:
-            first = True
+            # the transport may split the 44-byte RIFF header across
+            # chunks (or deliver a sub-44-byte first chunk); buffer until
+            # the header decision can be made so no header bytes ever
+            # reach the playback stream as PCM noise
+            head = bytearray()
+            deciding = True
             async for chunk in self.stream_rest(text, voice):
-                if first:
-                    chunk = chunk[44:] if chunk[:4] == b"RIFF" else chunk
-                    first = False
+                if deciding:
+                    head.extend(chunk)
+                    if len(head) < 44:
+                        continue
+                    deciding = False
+                    chunk = bytes(head[44:] if head[:4] == b"RIFF" else head)
+                    if not chunk:
+                        continue
                 player.play(chunk)
+            if deciding and head:  # short non-WAV stream: play what arrived
+                player.play(bytes(head[44:] if head[:4] == b"RIFF" else head))
             return player.bytes_played
         finally:
             player.close()

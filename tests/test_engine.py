@@ -454,3 +454,51 @@ def test_seeded_request_is_schedule_independent(params, cfg):
 
     c = _run(other_engine_seed())
     assert a == c
+
+
+def test_out_of_range_seeds_fold_into_uint32(params, cfg):
+    """Negative or >=2**32 seeds overflowed np.uint32 under NumPy 2 and the
+    raised OverflowError killed the engine task (ADVICE r4).  Seeds now
+    fold into uint32 range at admission; congruent seeds draw the same
+    per-slot key chain."""
+    async def go(seed):
+        eng = _engine(params, cfg)
+        sp = SamplingParams(
+            temperature=0.9, max_tokens=6, stop_token_ids=(), seed=seed
+        )
+        req = await eng.submit([5, 6], sp)
+        toks = [t async for t in req.tokens()]
+        await eng.close()
+        return toks
+
+    assert len(_run(go(-1))) >= 1
+    assert len(_run(go(2**40 + 3))) >= 1
+    assert _run(go(5)) == _run(go(5 + 2**32))
+
+
+def test_admission_failure_fails_only_that_request(params, cfg):
+    """An exception inside _admit must fail THAT request (closed stream)
+    while the engine task keeps serving co-batched traffic — it used to
+    crash the loop, stalling every stream and hanging queued clients."""
+    async def go():
+        eng = _engine(params, cfg)
+        orig = eng._admit
+
+        def boom(req):
+            if req.prompt_ids == [9, 9]:
+                raise RuntimeError("synthetic admission failure")
+            return orig(req)
+
+        eng._admit = boom
+        sp = SamplingParams(temperature=0.0, max_tokens=5, stop_token_ids=())
+        bad = await eng.submit([9, 9], sp)
+        good = await eng.submit([5, 6], sp)
+        bad_toks = [t async for t in bad.tokens()]
+        good_toks = [t async for t in good.tokens()]
+        await eng.close()
+        return bad_toks, good_toks, bad.done
+
+    bad_toks, good_toks, bad_done = _run(go())
+    assert bad_toks == []
+    assert bad_done
+    assert len(good_toks) >= 1

@@ -91,3 +91,25 @@ def test_note_tokens_respects_mask():
 def test_sampling_params_clipping():
     sp = SamplingParams(temperature=9.0, top_p=2.0, repetition_penalty=0.5).clipped()
     assert sp.temperature == 1.5 and sp.top_p == 1.0 and sp.repetition_penalty == 1.0
+
+
+def test_raw_uint32_keys_rejected():
+    """A raw uint32 PRNGKey has shape (2,) — indistinguishable by shape
+    from a 2-slot typed-key batch, so sample_logits demands typed keys
+    (jax.random.key) and raises on raw key data (ADVICE r4)."""
+    import pytest
+
+    from project_morpheus_tpu.model.sampling import sample_logits
+
+    logits = jnp.zeros((2, 8), jnp.float32)
+    raw = jax.random.PRNGKey(0)  # legacy uint32 (2,) key
+    with pytest.raises(TypeError, match="typed PRNG keys"):
+        sample_logits(
+            logits,
+            raw,
+            temperature=jnp.ones((2,)),
+            top_p=jnp.ones((2,)),
+            repetition_penalty=jnp.ones((2,)),
+            presence=jnp.zeros((2, 8), bool),
+            vocab_size=8,
+        )

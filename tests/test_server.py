@@ -252,3 +252,43 @@ def test_client_speak_streams_to_local_playback():
     played = _with_client(fn)
     assert played > 0
     assert played % 2 == 0  # whole int16 samples, header stripped
+
+
+def test_client_speak_handles_split_wav_header(monkeypatch):
+    """The 44-byte RIFF header may arrive split across transport chunks
+    (or the first chunk may be shorter than 44 bytes); no header byte may
+    reach playback as PCM noise and none of the payload may be dropped
+    (ADVICE r4)."""
+    import asyncio
+
+    import project_morpheus_tpu.utils.playback as pb
+    from project_morpheus_tpu.server.client import Client
+
+    pcm = bytes(range(200)) + bytes(200)
+    header = b"RIFF" + bytes(40)
+
+    class Recorder:
+        def __init__(self):
+            self.data = b""
+            self.bytes_played = 0
+
+        def play(self, chunk):
+            self.data += chunk
+            self.bytes_played += len(chunk)
+
+        def close(self):
+            pass
+
+    rec = Recorder()
+    monkeypatch.setattr(pb, "LocalPlayback", lambda: rec)
+
+    async def fake_stream(self, text, voice=None, **kw):
+        # header split at byte 2 and byte 20; payload split mid-way
+        for c in (header[:2], header[2:20], header[20:44] + pcm[:10],
+                  pcm[10:]):
+            yield c
+
+    monkeypatch.setattr(Client, "stream_rest", fake_stream)
+    played = asyncio.run(Client().speak("x"))
+    assert rec.data == pcm
+    assert played == len(pcm)
