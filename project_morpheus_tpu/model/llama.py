@@ -975,21 +975,34 @@ def llama_decode_step(
                 )
 
         if attn_impl == "pallas":
-            from ..ops.decode_attention import decode_attention_layered
-
             if quant:
-                raise NotImplementedError(
-                    "the pallas decode kernel reads the bf16 head-major "
-                    "cache; the int8 cache uses the dense int8-MXU path"
-                )
-            attn = decode_attention_layered(
-                q[:, 0],
-                c["k"],
-                c["v"],
-                lengths + 1,
-                i,
-                interpret=jax.default_backend() != "tpu",
-            ).reshape(B, 1, cfg.num_heads * HD).astype(x.dtype)
+                # slot-wise flash kernel over the position-major int8
+                # cache: per-step HBM traffic follows each slot's LIVE
+                # length (the dense path reads the full bucket per slot)
+                # and payloads stream as int8 with in-register dequant —
+                # the production long-context path (DECISIONS r5)
+                from ..ops.decode_attention import decode_attention_int8_slots
+
+                attn = decode_attention_int8_slots(
+                    q[:, 0],
+                    c["k"],
+                    c["v"],
+                    c["scale"],
+                    lengths + 1,
+                    i,
+                    interpret=jax.default_backend() != "tpu",
+                ).reshape(B, 1, cfg.num_heads * HD).astype(x.dtype)
+            else:
+                from ..ops.decode_attention import decode_attention_layered
+
+                attn = decode_attention_layered(
+                    q[:, 0],
+                    c["k"],
+                    c["v"],
+                    lengths + 1,
+                    i,
+                    interpret=jax.default_backend() != "tpu",
+                ).reshape(B, 1, cfg.num_heads * HD).astype(x.dtype)
         else:
             qg = q.reshape(B, KV, G, HD)
             if quant:

@@ -342,6 +342,212 @@ def decode_attention_layered(
     )(*operands)
 
 
+def _slot_attn_kernel(
+    layer_ref,       # SMEM (1,)
+    lengths_ref,     # SMEM (B,) live positions per slot (inclusive count)
+    q_ref,           # VMEM (1, H, HD)
+    k_hbm,           # ANY  (L, B, S, KV*HD) int8 (position-major, flattened)
+    v_hbm,           # ANY  (L, B, S, KV*HD) int8
+    sc_hbm,          # ANY  (L, B, S, 2*KV) f32 — k scales [:KV], v [KV:]
+    o_ref,           # VMEM (1, H, HD)
+    k_buf,           # VMEM scratch (2, block_s, KV*HD) int8
+    v_buf,           # VMEM scratch (2, block_s, KV*HD) int8
+    sc_buf,          # VMEM scratch (2, block_s, 2*KV) f32
+    sem,             # DMA sems (2, 3)
+    *,
+    block_s: int,
+    scale: float,
+    num_kv: int,
+):
+    """One grid program per SLOT covering ALL kv heads (r4 redesign).
+
+    The r1-r4 kernel ran one program per (slot, kv-head) with 64 KB
+    blocks: ~250 serialized DMAs per slot at 8k made it DMA-latency-bound
+    (measured 18.7 ms/layer vs ~0.17 roofline, DECISIONS r4).  This one
+    streams each slot's WHOLE position-major cache row — K and V blocks
+    of (block_s, KV*HD) int8 (512 KB at block_s=512) — double-buffered,
+    so per-block transfer time dominates issue latency and HBM traffic
+    scales with each slot's LIVE length.
+
+    All heads per block via a block-diagonal q: q_bd (H, KV*HD) holds
+    head h*G+g's query in columns [kv(h)*HD, (kv(h)+1)*HD) and zeros
+    elsewhere, so ONE (H, KV*HD) x (KV*HD, block_s) MXU dot yields every
+    head's scores against its own kv head only (the ~KV x FLOP padding is
+    noise next to the bandwidth cost).  The PV dot computes (H, KV*HD)
+    and the block-diagonal (H, HD) slice is extracted by a mask-sum.
+    Int8 payloads dequantize in registers: per-position k/v scales ride a
+    small (block_s, 2*KV) f32 DMA alongside.
+    """
+    b = pl.program_id(0)
+    li = layer_ref[0]
+    length = lengths_ref[b]
+    n_blocks = pl.cdiv(length, block_s)
+    H = q_ref.shape[1]
+    HD = q_ref.shape[2]
+    G = H // num_kv
+    DKV = num_kv * HD
+
+    def dma(slot, blk, which):
+        src = (k_hbm, v_hbm, sc_hbm)[which]
+        dst = (k_buf, v_buf, sc_buf)[which]
+        return pltpu.make_async_copy(
+            src.at[li, b, pl.ds(blk * block_s, block_s), :],
+            dst.at[slot],
+            sem.at[slot, which],
+        )
+
+    def start_all(slot, blk):
+        for w in range(3):
+            dma(slot, blk, w).start()
+
+    def wait_all(slot, blk):
+        for w in range(3):
+            dma(slot, blk, w).wait()
+
+    @pl.when(n_blocks > 0)
+    def _():
+        start_all(0, 0)
+
+    # block-diagonal query: (H, 1, HD) broadcast against the head->kv-head
+    # identity mask (H, KV, 1) -> (H, KV, HD) -> (H, KV*HD)
+    head_kv = jax.lax.broadcasted_iota(jnp.int32, (H, num_kv, 1), 0) // G
+    kv_idx = jax.lax.broadcasted_iota(jnp.int32, (H, num_kv, 1), 1)
+    bd_mask = head_kv == kv_idx  # (H, KV, 1)
+    q = q_ref[0].astype(jnp.float32) * scale  # (H, HD)
+    q_bd = jnp.where(bd_mask, q[:, None, :], 0.0).reshape(H, DKV)
+
+    def body(blk, state):
+        m, l, acc = state
+        slot = blk % 2
+
+        @pl.when(blk + 1 < n_blocks)
+        def _():
+            start_all((blk + 1) % 2, blk + 1)
+
+        wait_all(slot, blk)
+
+        ksc = sc_buf[slot][:, :num_kv]  # (block_s, KV)
+        vsc = sc_buf[slot][:, num_kv:]
+        # in-register dequant; the per-(position, kv-head) scale broadcasts
+        # over that head's HD lanes
+        k = (
+            k_buf[slot].reshape(block_s, num_kv, HD).astype(jnp.float32)
+            * ksc[:, :, None]
+        ).reshape(block_s, DKV)
+        v = (
+            v_buf[slot].reshape(block_s, num_kv, HD).astype(jnp.float32)
+            * vsc[:, :, None]
+        ).reshape(block_s, DKV)
+
+        s = jax.lax.dot_general(
+            q_bd, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (H, block_s) — block-diag zeros kill cross-head terms
+        pos = blk * block_s + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(pos < length, s, -1e30)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (H, KV*HD); row h*G+g's true output lives in its kv block
+        pv = jnp.where(bd_mask, pv.reshape(H, num_kv, HD), 0.0).sum(axis=1)
+        acc_new = acc * alpha + pv
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((H, 1), -1e30, jnp.float32)
+    l0 = jnp.zeros((H, 1), jnp.float32)
+    acc0 = jnp.zeros((H, HD), jnp.float32)
+    m, l, acc = lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def decode_attention_int8_slots(
+    q: jnp.ndarray,        # (B, H, HD)
+    k_cache: jnp.ndarray,  # (L, B, S, KV, HD) int8 position-major
+    v_cache: jnp.ndarray,  # (L, B, S, KV, HD) int8
+    kv_scale: jnp.ndarray,  # (L, B, S, 2*KV) f32 (k in [:KV], v in [KV:])
+    lengths: jnp.ndarray,  # (B,) live positions (inclusive count)
+    layer: jnp.ndarray,    # () int32 — layer slice to attend over
+    *,
+    block_s: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Slot-wise flash decode attention over the INT8 position-major cache.
+
+    The production long-context path (TPU answer to vLLM PagedAttention,
+    reference engine_class.py:8,60-67): HBM traffic per step is
+    sum(live lengths) * 2 KB — a 512-live slot co-batched with an 8k slot
+    costs 512 positions, where the dense bucketed path reads the full
+    8192-bucket for every slot.  Payloads stream AS int8 (half of bf16)
+    and dequantize in registers against the per-position scales; no bf16
+    copy of the cache is ever materialised.
+    """
+    B, H, HD = q.shape
+    L, _, S, KV, _ = k_cache.shape
+    scale = HD**-0.5
+    block_s = min(block_s, S)
+    if S % block_s != 0:
+        # DMA blocks must tile the capacity exactly; irregular (test-sized)
+        # capacities use the dense oracle on a dequantised slice.
+        # ``interpret`` does NOT fall back: pallas interpret emulates the
+        # DMA/semaphore machinery, so CPU tests exercise the real kernel.
+        kl = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, keepdims=False)
+        vl = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, keepdims=False)
+        scl = jax.lax.dynamic_index_in_dim(kv_scale, layer, 0, keepdims=False)
+        kf = kl.astype(jnp.float32) * scl[..., :KV, None]
+        vf = vl.astype(jnp.float32) * scl[..., KV:, None]
+        # oracle layout is head-major (B, KV, S, HD)
+        return decode_attention_reference(
+            q, jnp.swapaxes(kf, 1, 2), jnp.swapaxes(vf, 1, 2), lengths
+        )
+
+    DKV = KV * HD
+    operands = [
+        jnp.asarray(layer, jnp.int32)[None],
+        lengths,
+        q,
+        k_cache.reshape(L, B, S, DKV),
+        v_cache.reshape(L, B, S, DKV),
+        kv_scale,
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, H, HD), lambda b, li, lens: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, H, HD), lambda b, li, lens: (b, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_s, DKV), jnp.int8),
+            pltpu.VMEM((2, block_s, DKV), jnp.int8),
+            pltpu.VMEM((2, block_s, 2 * KV), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+    kernel = functools.partial(
+        _slot_attn_kernel, block_s=block_s, scale=scale, num_kv=KV
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, HD), q.dtype),
+        interpret=interpret,
+    )(*operands)
+
+
 @functools.partial(jax.jit, static_argnames=("block_s", "interpret"))
 def decode_attention(
     q: jnp.ndarray,        # (B, H, HD)

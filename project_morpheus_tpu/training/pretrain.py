@@ -335,6 +335,8 @@ def train_loop(
     checkpoint_dir: Optional[str] = None,
     collate: Optional[Callable] = None,
     resume: bool = True,
+    shard_mode: str = "fsdp",  # param_shardings mode: "fsdp" (1-D ZeRO-3)
+    # or "fsdp_tp" (2-D: hidden over data/DCN, heads over model/ICI)
 ) -> Tuple[object, Dict]:
     """Drive interleaved batches through the sharded step.
 
@@ -356,7 +358,7 @@ def train_loop(
 
     if mesh is None:
         mesh = make_mesh(model=1)
-    pshard = param_shardings(cfg, mesh, mode="fsdp")
+    pshard = param_shardings(cfg, mesh, mode=shard_mode)
     params = jax.device_put(params, pshard)
     opt_state = optimizer.init(params)
     start_step = 0

@@ -148,7 +148,19 @@ def main(argv=None) -> int:
     ap.add_argument("--wav", default="fidelity_gate.wav")
     ap.add_argument("--text", default="The quick brown fox jumps over the "
                                       "lazy dog.")
+    ap.add_argument(
+        "--platform", default="cpu",
+        help="jax platform (default cpu: the SNAC gates are small and must "
+        "not contend with serving on the single tunnel chip; pass 'tpu' "
+        "for the checkpoint-synthesis gate on hardware). The env var "
+        "JAX_PLATFORMS alone is NOT enough — the axon site plugin "
+        "overrides it, so the config is set explicitly here.",
+    )
     args = ap.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     ran, failed = 0, 0
     snac_path = os.environ.get("ORPHEUS_SNAC_PATH")

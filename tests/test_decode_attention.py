@@ -97,23 +97,122 @@ def test_layered_int8_fallback_matches_dequant_reference():
     )
 
 
-def test_decode_step_pallas_rejects_int8_cache():
-    """The pallas decode kernel reads the bf16 head-major cache layout;
-    the quantized cache is position-major (init_kv_cache layout note), so
-    attn_impl=pallas on an int8 cache must refuse loudly rather than read
-    transposed garbage.  (The kernel's own int8+scales support remains
-    covered by test_decode_attention_int8_scales above, on arrays in the
-    kernel's documented layout.)"""
+def _mk_int8_slots(L=2, B=3, S=256, KV=2, HD=32, H=6, seed=0):
+    rng = np.random.default_rng(seed)
+    k8 = rng.integers(-127, 128, (L, B, S, KV, HD), dtype=np.int8)
+    v8 = rng.integers(-127, 128, (L, B, S, KV, HD), dtype=np.int8)
+    sc = rng.uniform(0.005, 0.02, (L, B, S, 2 * KV)).astype(np.float32)
+    q = rng.standard_normal((B, H, HD)).astype(np.float32)
+    return (jnp.asarray(q), jnp.asarray(k8), jnp.asarray(v8),
+            jnp.asarray(sc))
+
+
+def _slots_oracle(q, k8, v8, sc, lengths, layer):
+    KV = k8.shape[3]
+    kf = np.asarray(k8[layer], np.float32) * np.asarray(sc[layer])[..., :KV, None]
+    vf = np.asarray(v8[layer], np.float32) * np.asarray(sc[layer])[..., KV:, None]
+    return decode_attention_reference(
+        q, jnp.swapaxes(jnp.asarray(kf), 1, 2),
+        jnp.swapaxes(jnp.asarray(vf), 1, 2), lengths,
+    )
+
+
+@pytest.mark.parametrize("lengths", [[256, 256, 256], [5, 128, 250]])
+def test_int8_slot_kernel_matches_dequant_oracle(lengths):
+    """The slot-wise int8 flash kernel (pallas interpret emulates its
+    DMA/double-buffering) vs dense attention over the explicitly
+    dequantised cache — uniform and MIXED live lengths (the kernel's
+    whole point is that traffic follows live length)."""
+    from project_morpheus_tpu.ops.decode_attention import (
+        decode_attention_int8_slots,
+    )
+
+    q, k8, v8, sc = _mk_int8_slots()
+    lengths = jnp.asarray(lengths, jnp.int32)
+    for layer in (0, 1):
+        got = decode_attention_int8_slots(
+            q, k8, v8, sc, lengths, jnp.asarray(layer, jnp.int32),
+            block_s=64, interpret=True,
+        )
+        want = _slots_oracle(q, k8, v8, sc, lengths, layer)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+        )
+
+
+def test_int8_slot_kernel_tail_garbage_ignored():
+    """Positions at/after a slot's live length must not influence the
+    output (garbage K/V beyond the live frontier is normal: freed slots,
+    stale prefill padding)."""
+    from project_morpheus_tpu.ops.decode_attention import (
+        decode_attention_int8_slots,
+    )
+
+    q, k8, v8, sc = _mk_int8_slots(seed=3)
+    lengths = jnp.asarray([100, 64, 200], jnp.int32)
+    base = decode_attention_int8_slots(
+        q, k8, v8, sc, lengths, jnp.asarray(0), block_s=64, interpret=True
+    )
+    k8g = k8.at[0, 0, 100:].set(127)
+    v8g = v8.at[0, 0, 100:].set(-127)
+    scg = sc.at[0, 0, 100:].set(1.0)
+    got = decode_attention_int8_slots(
+        q, k8g, v8g, scg, lengths, jnp.asarray(0), block_s=64,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(base), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_int8_slot_kernel_zero_length_is_finite():
+    from project_morpheus_tpu.ops.decode_attention import (
+        decode_attention_int8_slots,
+    )
+
+    q, k8, v8, sc = _mk_int8_slots(seed=4)
+    lengths = jnp.asarray([0, 256, 17], jnp.int32)
+    got = decode_attention_int8_slots(
+        q, k8, v8, sc, lengths, jnp.asarray(1), block_s=64, interpret=True
+    )
+    assert np.all(np.isfinite(np.asarray(got)))
+    want = _slots_oracle(q, k8, v8, sc, lengths, 1)
+    np.testing.assert_allclose(
+        np.asarray(got[1:]), np.asarray(want[1:]), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_decode_step_pallas_int8_matches_dense_int8():
+    """llama_decode_step with attn_impl='pallas' on a quantized cache now
+    routes to the slot kernel (r5: the NotImplementedError guard is gone)
+    and must track the dense int8-MXU path."""
     from project_morpheus_tpu.model import LlamaConfig, init_llama_params
-    from project_morpheus_tpu.model.llama import init_kv_cache, llama_decode_step
+    from project_morpheus_tpu.model.llama import (
+        init_kv_cache,
+        llama_decode_step,
+        llama_forward,
+    )
 
     cfg = LlamaConfig.tiny_vocab()
     params = init_llama_params(cfg, jax.random.key(0), dtype=jnp.float32)
     B, S = 2, 64
-    lengths = jnp.asarray([5, 9], jnp.int32)
+    # write a real prefix so the cache holds coherent K/V + scales
+    toks = jnp.asarray(
+        np.random.default_rng(0).integers(3, 900, (B, 6)), jnp.int32
+    )
     cache = init_kv_cache(cfg, B, S, jnp.int8)
-    toks = jnp.asarray([3, 8], jnp.int32)
-    with pytest.raises(NotImplementedError):
-        llama_decode_step(
-            params, toks, cfg, cache, lengths, attn_impl="pallas"
-        )
+    _, cache = llama_forward(
+        params, toks, cfg, cache=cache,
+        cache_offset=jnp.zeros((B,), jnp.int32),
+    )
+    lengths = jnp.full((B,), 6, jnp.int32)
+    nxt = jnp.asarray([3, 8], jnp.int32)
+    logits_d, _ = llama_decode_step(
+        params, nxt, cfg, dict(cache), lengths, attn_impl="dense"
+    )
+    logits_p, _ = llama_decode_step(
+        params, nxt, cfg, dict(cache), lengths, attn_impl="pallas"
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_p), np.asarray(logits_d), rtol=5e-2, atol=5e-2
+    )

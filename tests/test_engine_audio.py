@@ -257,15 +257,21 @@ def test_warmup_precompiles_every_serving_program(setup):
         seed=5,
     )
     # ctx 20 + 100 new tokens crosses the 128 and 256 context buckets;
-    # ctx 80 takes the CHUNKED prefill path (2 full 32-chunks + rest)
-    n_programs = eng.warmup(prompt_lens=[20, 80], max_new_tokens=100)
+    # ctx 80 takes the CHUNKED prefill path (2 full 32-chunks + rest);
+    # burst=2 warms the J-wide batched chunk rounds and every paced
+    # short-admission group width a 2-wide cold burst can produce
+    n_programs = eng.warmup(prompt_lens=[20, 80], max_new_tokens=100,
+                            burst=2)
     assert n_programs >= 6  # prefills + chunks + (bucket, k) pairs + flush
+
+    from project_morpheus_tpu.codec import stream_decode as sd_mod
 
     kernels = [
         eng_mod._prefill_chunk,
         eng_mod._prefill_chunk_batch,
         eng_mod._decode_audio_multi,
         eng_mod._release,
+        sd_mod.snac_stream_step,
     ]
     before = [k._cache_size() for k in kernels]
 
@@ -279,6 +285,23 @@ def test_warmup_precompiles_every_serving_program(setup):
         req2 = await eng.submit(list(range(10, 90)), sp2, audio=True)
         async for _ in req2.pcm_chunks():
             pass
+        # cold BURSTS: simultaneous short admissions (paced group widths)
+        # and simultaneous long admissions (lockstep J-wide chunk rounds)
+        # must both land on warmed programs (VERDICT r4 weak #8)
+        shorts = [
+            await eng.submit(list(range(10, 30)), sp2, audio=True)
+            for _ in range(2)
+        ]
+        for r in shorts:
+            async for _ in r.pcm_chunks():
+                pass
+        longs = [
+            await eng.submit(list(range(10, 90)), sp2, audio=True)
+            for _ in range(2)
+        ]
+        for r in longs:
+            async for _ in r.pcm_chunks():
+                pass
         await eng.close()
 
     asyncio.run(go())

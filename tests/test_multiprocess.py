@@ -23,24 +23,24 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_train_step(tmp_path):
+def _launch_workers(tmp_path, n_procs, extra_env):
     repo = Path(__file__).resolve().parent.parent
     worker = Path(__file__).resolve().parent / "multiproc_worker.py"
     port = _free_port()
     procs, outs = [], []
-    for rank in range(2):
+    for rank in range(n_procs):
         env = dict(os.environ)
         env.update(
             {
                 "JAX_PLATFORMS": "cpu",
                 "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
                 "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
-                "JAX_NUM_PROCESSES": "2",
+                "JAX_NUM_PROCESSES": str(n_procs),
                 "JAX_PROCESS_ID": str(rank),
                 "PYTHONPATH": str(repo),
             }
         )
+        env.update(extra_env)
         out = tmp_path / f"rank{rank}.json"
         outs.append(out)
         procs.append(
@@ -63,12 +63,68 @@ def test_two_process_train_step(tmp_path):
         logs.append(stdout.decode(errors="replace"))
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
-
     results = [json.loads(o.read_text()) for o in outs]
-    assert {r["rank"] for r in results} == {0, 1}
+    assert {r["rank"] for r in results} == set(range(n_procs))
+    return results
+
+
+@pytest.mark.slow
+def test_two_process_train_step(tmp_path):
+    results = _launch_workers(tmp_path, 2, {})
     # the jitted step all-reduces over the data axis: every process must
     # observe the identical global loss trajectory
     np.testing.assert_allclose(
         results[0]["losses"], results[1]["losses"], rtol=1e-6
     )
     assert len(results[0]["losses"]) == 3
+
+
+@pytest.mark.slow
+def test_four_process_fsdp_tp_train_step(tmp_path):
+    """4 processes x 2 devices, (data=4, model=2) mesh, 2-D fsdp_tp
+    sharding: the data axis spans FOUR process boundaries (the DCN
+    analogue) while the model axis stays intra-process (ICI) — the axis
+    split parallel/sharding.py's fsdp_tp spec claims (VERDICT r4 missing
+    #5).  Loss trajectory must match a single-process virtual-mesh run
+    of the same global batch (reference: multinode FSDP,
+    Orpheus-TTS/pretrain/readme.md:23)."""
+    results = _launch_workers(
+        tmp_path,
+        4,
+        {"MP_SHARD_MODE": "fsdp_tp", "MP_GLOBAL_EXAMPLES": "8"},
+    )
+    for r in results[1:]:
+        np.testing.assert_allclose(
+            results[0]["losses"], r["losses"], rtol=1e-6
+        )
+    assert len(results[0]["losses"]) == 3
+
+    # single-process parity on this process's own 8 virtual devices:
+    # same global batch, same mesh logical shape, same sharding mode
+    import jax
+    import jax.numpy as jnp
+
+    from project_morpheus_tpu.model import LlamaConfig, init_llama_params
+    from project_morpheus_tpu.parallel.mesh import make_mesh
+    from project_morpheus_tpu.training.pretrain import TrainConfig, train_loop
+
+    cfg = LlamaConfig.tiny_vocab()
+    params = init_llama_params(cfg, jax.random.key(0), dtype=jnp.float32)
+    global_examples = [
+        {"input_ids": [(7 * i + j) % 900 + 3 for j in range(12)]}
+        for i in range(8)
+    ]
+    batches = [{"examples": global_examples, "kind": "text"}] * 3
+    tc = TrainConfig(
+        learning_rate=1e-3, warmup_steps=1, total_steps=3, seq_len=12,
+        log_every=100,
+    )
+    _, hist = train_loop(
+        params, cfg, iter(batches), tc=tc,
+        mesh=make_mesh(data=4, model=2), shard_mode="fsdp_tp",
+    )
+    # different device partitioning reorders float reductions; the
+    # trajectories agree to float32 reduction tolerance, not bitwise
+    np.testing.assert_allclose(
+        hist["text_loss"], results[0]["losses"], rtol=2e-4
+    )
