@@ -87,7 +87,16 @@ class EngineConfig:
     # serially on the single TensorCore); it stays behind attn_impl=
     # "pallas" for A/B and for future whole-slot-DMA redesign.
     attn_impl: str = "auto"
-    pallas_min_bucket: int = 2048  # used only when attn auto-selects pallas
+    # smallest context bucket at which attn_impl="auto" selects the slot-
+    # wise pallas flash kernel on a quantized cache (see _attn_for)
+    pallas_min_bucket: int = 2048
+    # int8 activations in the chunk-prefill projections/MLP (w8a8): the
+    # long-prompt admission wall is chunk-matmul-bound at 120 TFLOP/s
+    # with weight-only dequant vs 169 w8a8 (DECISIONS r4-006).  Accuracy
+    # gate: random-weight logit error vs the weight-only path is bounded
+    # in tests/test_chunked_prefill.py and recorded in DECISIONS r5.
+    # Applies to quantized weights only (bf16 engines are unaffected).
+    prefill_w8a8: bool = True
     steps_per_sync: int = 0  # 0/auto -> 7 on TPU (one SNAC frame), 1 elsewhere
     # Max codec frames decoded per fused audio dispatch (0/auto -> 1).
     # Multi-frame batching existed to amortise the tunnel's ~26 ms
@@ -118,6 +127,14 @@ class EngineConfig:
     # which sample audio-range ids in arbitrary sub-bands; real checkpoints
     # emit strictly banded ids and keep the exact parser.
     lenient_audio_codes: bool = False
+    # Constrain every audio lane's sampling to its CURRENT position's
+    # 4096-id band (id in [base + (audio_pos%7)*4096, +4096)): random
+    # weights then emit exactly the banded traces a real checkpoint does,
+    # so the STRICT per-position parser (adapters/runtime.py
+    # audio_code_from_token_id, reference speechpipe.py:146-189) runs
+    # under load instead of only in unit tests (VERDICT r4 next #3).
+    # A bench/testing device: real checkpoints emit banded ids natively.
+    banded_sampling: bool = False
     default_stop_ids: Tuple[int, ...] = (
         ORPHEUS_SPECIAL_TOKENS["end_of_speech"],
         ORPHEUS_SPECIAL_TOKENS["end_of_text"],
@@ -132,6 +149,20 @@ def _bucket_for(n: int, buckets: Sequence[int]) -> int:
 
 
 # ----------------------------------------------------------- jitted kernels
+
+
+def _band_mask_logits(logits, is_audio, audio_pos):
+    """Mask (B, Vp) logits to each audio lane's CURRENT 4096-id band.
+
+    Band index = audio_pos % 7 (the device ring's running audio-token
+    position, advanced by _ring_push only on accepted codes), matching
+    the reference's id = N - 10 - (pos%7)*4096 contract
+    (speechpipe.py:146-189).  Text lanes pass through unmasked."""
+    lane = jnp.arange(logits.shape[1])[None, :]
+    lo = _AUDIO_BASE + (audio_pos % _FRAME_TOKENS) * _CODEBOOK
+    in_band = (lane >= lo[:, None]) & (lane < (lo + _CODEBOOK)[:, None])
+    keep = jnp.where(is_audio[:, None], in_band, True)
+    return jnp.where(keep, logits, -jnp.inf)
 
 
 def _ring_seed(dstate, slot, tok, is_audio, lenient: bool):
@@ -203,7 +234,8 @@ def _post_step(dstate, toks, stop_ids: Tuple[int, ...]):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "hist_bucket", "sample", "lenient"),
+    static_argnames=("cfg", "hist_bucket", "sample", "lenient", "w8a8",
+                     "banded"),
     donate_argnums=(1,),
 )
 def _prefill_chunk(
@@ -223,6 +255,8 @@ def _prefill_chunk(
     hist_bucket: int,
     sample: bool,
     lenient: bool = False,
+    w8a8: bool = False,
+    banded: bool = False,
 ):
     """Write one prompt chunk; on the final chunk, sample the first token."""
     S = tokens.shape[0]
@@ -235,6 +269,7 @@ def _prefill_chunk(
         slot,
         length,
         hist_bucket=hist_bucket,
+        w8a8=w8a8,
     )
     # mark this chunk's real tokens seen for the repetition penalty
     presence = dstate["presence"]
@@ -250,6 +285,10 @@ def _prefill_chunk(
         return dstate, jnp.zeros((), jnp.int32) - 1
 
     use, nxt = jax.random.split(key)
+    if banded:  # first audio code samples from band 0 (audio_pos == 0)
+        logits = _band_mask_logits(
+            logits[None], is_audio[None], jnp.zeros((1,), jnp.int32)
+        )[0]
     first = sample_logits(
         logits[None],
         use,
@@ -271,7 +310,8 @@ def _prefill_chunk(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "hist_bucket", "sample", "lenient"),
+    static_argnames=("cfg", "hist_bucket", "sample", "lenient", "w8a8",
+                     "banded"),
     donate_argnums=(1,),
 )
 def _prefill_chunk_batch(
@@ -291,6 +331,8 @@ def _prefill_chunk_batch(
     hist_bucket: int,
     sample: bool,
     lenient: bool = False,
+    w8a8: bool = False,
+    banded: bool = False,
 ):
     """Chunked-prefill round for a LOCKSTEP group of J long prompts.
 
@@ -300,7 +342,7 @@ def _prefill_chunk_batch(
     J, C = tokens.shape
     logits, cache = llama_prefill_chunk_batch(
         params, tokens, cfg, dstate["cache"], offsets, slots, lengths,
-        hist_bucket=hist_bucket,
+        hist_bucket=hist_bucket, w8a8=w8a8,
     )
     presence = dstate["presence"]
     mask = jnp.arange(C)[None, :] < lengths[:, None]  # (J, C)
@@ -317,6 +359,10 @@ def _prefill_chunk_batch(
         return dstate, jnp.full((J,), -1, jnp.int32)
 
     pair = jax.vmap(lambda k: jax.random.split(k))(keys)  # (J, 2)
+    if banded:  # first audio codes sample from band 0
+        logits = _band_mask_logits(
+            logits, is_audio, jnp.zeros((J,), jnp.int32)
+        )
     first = sample_logits(
         logits,
         pair[:, 0],
@@ -352,7 +398,7 @@ def _prefill_chunk_batch(
 
 
 def _decode_core(params, dstate, gate, cfg: LlamaConfig, attn_impl: str,
-                 bucket: Optional[int] = None):
+                 bucket: Optional[int] = None, banded: bool = False):
     """One decode+sample step over the slot table (shared by both jits).
 
     ``gate`` (B,) bool is the per-dispatch backpressure mask: gated-off
@@ -376,6 +422,10 @@ def _decode_core(params, dstate, gate, cfg: LlamaConfig, attn_impl: str,
         attn_impl=attn_impl,
         bucket=bucket,
     )
+    if banded:  # audio engines only: dstate carries the codec ring
+        logits = _band_mask_logits(
+            logits, dstate["is_audio"], dstate["audio_pos"]
+        )
     pair = jax.vmap(lambda k: jax.random.split(k))(dstate["rng"])  # (B, 2)
     toks = sample_logits(
         logits,
@@ -511,7 +561,7 @@ def _ring_push(dstate, toks, lenient: bool):
     jax.jit,
     static_argnames=(
         "cfg", "snac_cfg", "attn_impl", "n_steps", "stop_ids", "bucket",
-        "lenient", "n_frames",
+        "lenient", "n_frames", "banded",
     ),
     donate_argnums=(1, 3),
 )
@@ -530,6 +580,7 @@ def _decode_audio_multi(
     bucket: Optional[int] = None,
     lenient: bool = False,
     n_frames: int = 1,
+    banded: bool = False,
 ):
     """FUSED frame program: decode + sample + code ring + SNAC hops.
 
@@ -563,7 +614,7 @@ def _decode_audio_multi(
 
     def body(dstate, _):
         dstate, toks = _decode_core(params, dstate, gate, cfg, attn_impl,
-                                    bucket)
+                                    bucket, banded)
         dstate = _post_step(dstate, toks, stop_ids)
         dstate = _ring_push(dstate, toks, lenient)
         return dstate, toks
@@ -660,6 +711,13 @@ class OrpheusEngine:
         self.cfg = model_cfg
         self._codec = codec
         self.ecfg = engine_cfg or EngineConfig()
+        from ..model.quant import is_quantized
+
+        # w8a8 chunk prefill only does anything on quantized weights;
+        # resolving it here keeps one static value across warmup/serving
+        self._w8a8 = bool(self.ecfg.prefill_w8a8) and any(
+            is_quantized(w) for w in self.params["layers"].values()
+        )
         B = self.ecfg.max_slots
         Vp = model_cfg.padded_vocab
         cache_dt = jnp.dtype(self.ecfg.cache_dtype)
@@ -739,6 +797,9 @@ class OrpheusEngine:
             self.frames_per_dispatch = 1
         self._free: List[int] = list(range(B))
         self._by_slot: Dict[int, Request] = {}
+        # largest batched-prefill width warmed (warmup sets it); caps the
+        # power-of-two group quantisation in _advance_prefill
+        self._max_batch_j: int = 0
         # async admission: first tokens sampled by an in-flight prefill,
         # read back together with the next frame instead of stalling the
         # dispatch cadence on a host<->device sync (VERDICT r1 "next" #5)
@@ -786,9 +847,10 @@ class OrpheusEngine:
         its measured wall compiling).  vLLM warms its CUDA graphs at
         startup for the same reason.
 
-        ``burst`` warms the batched chunk-round program for simultaneous
-        long-prompt arrivals of that width (a cold burst admits in
-        lockstep and _advance_prefill batches each round J-wide).
+        ``burst`` warms the batched prefill programs for simultaneous
+        arrivals of that width: a cold burst admits whole, its jobs stay
+        in lockstep, and _advance_prefill dispatches each round at
+        power-of-two J widths up to the warmed burst.
 
         Runs each program once on the live (idle) slot table with every
         lane inactive — compute is dispatched but no slot state survives:
@@ -822,10 +884,12 @@ class OrpheusEngine:
         burst = max(1, min(burst, self.ecfg.max_slots))
         chunk_programs = set()  # (chunk_len_bucket, hist_bucket, sample, J)
         decode_programs = set()  # (bucket, k)
-        # admission pacing dispatches SHORT bursts in halving group sizes
-        # (4, 2, 1 for a backlog of 8); warm every reachable group width
-        short_js = {1} | set(range(2, max(2, (burst + 1) // 2) + 1))
-        long_js = {1} if burst == 1 else {1, burst}
+        # _advance_prefill dispatches lockstep groups at POWER-OF-TWO
+        # widths capped at the warmed burst; warm exactly that ladder
+        pow2_js = {1 << i for i in range(burst.bit_length())
+                   if (1 << i) <= burst}
+        short_js = long_js = pow2_js
+        self._max_batch_j = max(pow2_js)
         for L in prompt_lens:
             L = min(L, self.ecfg.max_seq_len - 4)
             if L <= top_bucket:
@@ -870,6 +934,8 @@ class OrpheusEngine:
                     is_audio, no_budget, stops,
                     cfg=self.cfg, hist_bucket=hb, sample=sample,
                     lenient=self.ecfg.lenient_audio_codes,
+                    w8a8=self._w8a8,
+                    banded=self.ecfg.banded_sampling,
                 )
             else:
                 self.dstate, _ = _prefill_chunk_batch(
@@ -886,6 +952,8 @@ class OrpheusEngine:
                     np.full((j, _MAX_CUSTOM_STOPS), -1, np.int32),
                     cfg=self.cfg, hist_bucket=hb, sample=sample,
                     lenient=self.ecfg.lenient_audio_codes,
+                    w8a8=self._w8a8,
+                    banded=self.ecfg.banded_sampling,
                 )
             programs += 1
         for b, k in sorted(decode_programs, key=lambda t: (t[0] or 0, t[1])):
@@ -897,6 +965,7 @@ class OrpheusEngine:
                     attn_impl=self._attn_for(b), n_steps=n,
                     stop_ids=stop_ids, bucket=b,
                     lenient=self.ecfg.lenient_audio_codes, n_frames=k,
+                    banded=self.ecfg.banded_sampling,
                 )
             elif n > 1:
                 self.dstate, _ = _decode_multi(
@@ -1153,6 +1222,15 @@ class OrpheusEngine:
             return
         phase, clen, hist = desc = self._job_next(jobs[0])
         group = [j for j in jobs if self._job_next(j) == desc]
+        # dispatch widths are quantized to POWERS OF TWO (and capped at
+        # the warmed burst width): warmup enumerates exactly {1,2,4,...}
+        # per program family, so any group size — a 6-wide burst, a burst
+        # wider than warmup anticipated — lands on a warmed program
+        # instead of compiling mid-serving; the remainder goes next round
+        take = 1 << (len(group).bit_length() - 1)
+        if self._max_batch_j:
+            take = min(take, self._max_batch_j)
+        group = group[:take]
         sample = phase == "final"
 
         if len(group) == 1:
@@ -1177,6 +1255,8 @@ class OrpheusEngine:
                 hist_bucket=hist,
                 sample=sample,
                 lenient=self.ecfg.lenient_audio_codes,
+                w8a8=self._w8a8,
+                banded=self.ecfg.banded_sampling,
             )
             firsts = [first]
         else:
@@ -1216,6 +1296,8 @@ class OrpheusEngine:
                 hist_bucket=hist,
                 sample=sample,
                 lenient=self.ecfg.lenient_audio_codes,
+                w8a8=self._w8a8,
+                banded=self.ecfg.banded_sampling,
             )
             firsts = [firsts_arr[idx] for idx in range(J)]
 
@@ -1358,6 +1440,7 @@ class OrpheusEngine:
                     bucket=bucket,
                     lenient=self.ecfg.lenient_audio_codes,
                     n_frames=k,
+                    banded=self.ecfg.banded_sampling,
                 )
             )
             return (toks, pcm, emit), dict(self._by_slot)
@@ -1559,32 +1642,22 @@ class OrpheusEngine:
         loop = asyncio.get_running_loop()
         inflight = None  # (payload, slot snapshot, firsts, readback future)
         while not self._closed:
-            # Admission policy by prompt type.  LONG prompts admit ALL at
-            # once: they only queue chunked-prefill jobs, and simultaneous
-            # jobs stay in LOCKSTEP so _advance_prefill batches every
-            # round J-wide (measured: 8x8k burst TTFA p95 10.4 -> 8.1 s).
-            # SHORT prompts dispatch a whole prefill program at admission,
-            # so they are PACED at half the backlog per iteration — the
-            # median stream's first audio waits ~half the burst's prefill
-            # work instead of all of it (admit-all measured TTFA
-            # p50=p95=705 ms vs 428/560 paced, ctx-512 burst of 8).
+            # Admission: take the WHOLE backlog (up to free slots).  Every
+            # prompt — short or long — becomes a chunked-prefill job, so a
+            # simultaneous burst's jobs stay in LOCKSTEP and each round of
+            # _advance_prefill covers the group in ONE J-wide batched
+            # program (r4-006 for longs; r5 extends it to shorts — a cold
+            # ctx-512 burst of 8 admits as ONE J=8 bucket-512 program
+            # instead of the r4 paced 4/2/1/1 train whose median stream
+            # waited half the serial prefill work, VERDICT r4 next #2).
             if self._free and not self._pending.empty():
-                backlog = []
-                while not self._pending.empty():
-                    backlog.append(self._pending.get_nowait())
-                top_bucket = max(self.ecfg.prefill_buckets)
-                short_quota = max(1, (len(backlog) + 1) // 2)
                 deferred = []
-                for req in backlog:
+                while not self._pending.empty():
+                    req = self._pending.get_nowait()
                     if req.state is RequestState.CANCELLED:
                         continue
-                    if not self._free:
-                        deferred.append(req)
-                    elif len(req.prompt_ids) > top_bucket:
+                    if self._free:
                         self._guarded_admit(req)
-                    elif short_quota > 0:
-                        self._guarded_admit(req)
-                        short_quota -= 1
                     else:
                         deferred.append(req)
                 for req in deferred:

@@ -27,7 +27,12 @@ import jax.numpy as jnp
 from jax import lax
 
 from .config import LlamaConfig
-from .quant import embed_lookup, matmul_maybe_quant, tied_lm_head_logits
+from .quant import (
+    embed_lookup,
+    matmul_maybe_quant,
+    matmul_w8a8,
+    tied_lm_head_logits,
+)
 
 Params = Dict[str, object]
 KVCache = Dict[str, jnp.ndarray]
@@ -547,39 +552,38 @@ def _scatter_seq_q(cache, vals, batch_idx, pos_idx):
     return jax.vmap(one_layer)(cache, vals)
 
 
-def _project_qkv(h, wl, cfg: LlamaConfig):
+def _project_qkv(h, wl, cfg: LlamaConfig, mm=matmul_maybe_quant):
     """Q/K/V projections, from a fused ``wqkv`` leaf when present.
 
     Serving fuses wq|wk|wv into one matmul (``fuse_layer_weights``): one MXU
     dispatch instead of three and fewer fusion boundaries — measured ~1.8 ms
     off the 3B decode step on v5e.  Numerics are identical (per-output-column
-    int8 scales concatenate losslessly).
+    int8 scales concatenate losslessly).  ``mm`` selects the matmul flavour
+    (weight-only dequant, or w8a8 on the chunk-prefill hot path).
     """
     HD, KV, H = cfg.head_dim, cfg.num_kv_heads, cfg.num_heads
     if "wqkv" in wl:
-        qkv = matmul_maybe_quant(h, wl["wqkv"])
+        qkv = mm(h, wl["wqkv"])
         nq = H * HD
         q = _split_heads(qkv[..., :nq], H, HD)
         k = _split_heads(qkv[..., nq : nq + KV * HD], KV, HD)
         v = _split_heads(qkv[..., nq + KV * HD :], KV, HD)
     else:
-        q = _split_heads(matmul_maybe_quant(h, wl["wq"]), H, HD)
-        k = _split_heads(matmul_maybe_quant(h, wl["wk"]), KV, HD)
-        v = _split_heads(matmul_maybe_quant(h, wl["wv"]), KV, HD)
+        q = _split_heads(mm(h, wl["wq"]), H, HD)
+        k = _split_heads(mm(h, wl["wk"]), KV, HD)
+        v = _split_heads(mm(h, wl["wv"]), KV, HD)
     return q, k, v
 
 
-def _mlp(h, wl, cfg: LlamaConfig):
+def _mlp(h, wl, cfg: LlamaConfig, mm=matmul_maybe_quant):
     """SwiGLU MLP, from a fused ``wgu`` leaf when present."""
     if "wgu" in wl:
-        gu = matmul_maybe_quant(h, wl["wgu"])
+        gu = mm(h, wl["wgu"])
         F = cfg.intermediate_size
         act = jax.nn.silu(gu[..., :F]) * gu[..., F:]
     else:
-        act = jax.nn.silu(matmul_maybe_quant(h, wl["wg"])) * matmul_maybe_quant(
-            h, wl["wu"]
-        )
-    return matmul_maybe_quant(act, wl["wd"])
+        act = jax.nn.silu(mm(h, wl["wg"])) * mm(h, wl["wu"])
+    return mm(act, wl["wd"])
 
 
 def _chunk_streaming_attn(
@@ -661,6 +665,9 @@ def llama_prefill_chunk(
     length: jnp.ndarray,   # () int32 — real tokens in this (padded) chunk
     *,
     hist_bucket: int,      # static: attention reads cache[:hist_bucket]
+    w8a8: bool = False,    # static: int8-activation projections/MLP (the
+    # chunk matmuls are the 8k admission wall: 120 TFLOP/s weight-only
+    # dequant vs 169 w8a8 measured, DECISIONS r4-006/r5)
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One prompt chunk against the KV history already in the cache.
 
@@ -687,12 +694,13 @@ def llama_prefill_chunk(
     x = embed_lookup(params["embed"], tokens[None, :], dtype=params["ln_f"].dtype)
 
     lp = params["layers"]
+    mm = matmul_w8a8 if w8a8 else matmul_maybe_quant
 
     def layer_body(i, carry):
         x, c = carry
         wl = jax.tree.map(lambda a: a[i], lp)
         h = rmsnorm(x, wl["ln1"], cfg.rms_eps)
-        q, k, v = _project_qkv(h, wl, cfg)  # (1, S, H/KV, HD)
+        q, k, v = _project_qkv(h, wl, cfg, mm)  # (1, S, H/KV, HD)
         q = apply_rope(q, positions, inv_freqs)
         k = apply_rope(k, positions, inv_freqs)
         if quant:
@@ -743,9 +751,9 @@ def llama_prefill_chunk(
         attn = _chunk_streaming_attn(
             qg, k_s, v_s, ks_s, vs_s, positions[0], hist_bucket
         ).reshape(1, S, cfg.num_heads * HD).astype(x.dtype)
-        x = x + matmul_maybe_quant(attn, wl["wo"])
+        x = x + mm(attn, wl["wo"])
         h = rmsnorm(x, wl["ln2"], cfg.rms_eps)
-        x = x + _mlp(h, wl, cfg)
+        x = x + _mlp(h, wl, cfg, mm)
         return x, c
 
     x, new_cache = lax.fori_loop(
@@ -771,6 +779,7 @@ def llama_prefill_chunk_batch(
     lengths: jnp.ndarray,  # (J,) real tokens in each (padded) chunk
     *,
     hist_bucket: int,      # static: attention reads cache[:hist_bucket]
+    w8a8: bool = False,    # static: int8-activation projections/MLP
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One prompt chunk from EACH of J streams in a single program.
 
@@ -800,12 +809,13 @@ def llama_prefill_chunk_batch(
     x = embed_lookup(params["embed"], tokens, dtype=params["ln_f"].dtype)
 
     lp = params["layers"]
+    mm = matmul_w8a8 if w8a8 else matmul_maybe_quant
 
     def layer_body(i, carry):
         x, c = carry
         wl = jax.tree.map(lambda a: a[i], lp)
         h = rmsnorm(x, wl["ln1"], cfg.rms_eps)
-        q, k, v = _project_qkv(h, wl, cfg)  # (J, C, H/KV, HD)
+        q, k, v = _project_qkv(h, wl, cfg, mm)  # (J, C, H/KV, HD)
         q = apply_rope(q, positions, inv_freqs)
         k = apply_rope(k, positions, inv_freqs)
         if quant:
@@ -867,9 +877,9 @@ def llama_prefill_chunk_batch(
                 )
             )(qg, jnp.stack(k_hist), jnp.stack(v_hist), positions)
         attn = attn.reshape(J, C, cfg.num_heads * HD).astype(x.dtype)
-        x = x + matmul_maybe_quant(attn, wl["wo"])
+        x = x + mm(attn, wl["wo"])
         h = rmsnorm(x, wl["ln2"], cfg.rms_eps)
-        x = x + _mlp(h, wl, cfg)
+        x = x + _mlp(h, wl, cfg, mm)
         return x, c
 
     x, new_cache = lax.fori_loop(
@@ -933,9 +943,16 @@ def llama_decode_step(
     key_mask = key_pos <= lengths[:, None]  # (B, bkt) inclusive of new token
 
     lp = params["layers"]
+    # slot-kernel path: Mosaic DMA cannot slice the 16-lane minor dim of
+    # the (L,B,S,2KV) scale storage, so the kernel reads a SCALE-MAJOR
+    # (L,B,2KV,S) view.  Transposed once per step and carried through the
+    # layer loop (each layer's new-position scales are written into both),
+    # not per layer — 28 transposes of the full array would swamp the step.
+    slot_kernel = attn_impl == "pallas" and quant
+    sc_t0 = jnp.swapaxes(cache["scale"], 2, 3) if slot_kernel else None
 
     def layer_body(i, carry):
-        x, c = carry
+        x, c, sc_t = carry
         wl = jax.tree.map(lambda a: a[i], lp)
         h = rmsnorm(x, wl["ln1"], cfg.rms_eps)
         q, k, v = _project_qkv(h, wl, cfg)
@@ -957,11 +974,18 @@ def llama_decode_step(
                 c["v"] = lax.dynamic_update_slice(
                     c["v"], vq.reshape(1, 1, 1, KV, HD), (i, b, lengths[b], 0, 0)
                 )
+                sc_new = jnp.concatenate([ksc, vsc])
                 c["scale"] = lax.dynamic_update_slice(
                     c["scale"],
-                    jnp.concatenate([ksc, vsc]).reshape(1, 1, 1, 2 * KV),
+                    sc_new.reshape(1, 1, 1, 2 * KV),
                     (i, b, lengths[b], 0),
                 )
+                if sc_t is not None:  # keep the scale-major view current
+                    sc_t = lax.dynamic_update_slice(
+                        sc_t,
+                        sc_new.reshape(1, 1, 2 * KV, 1),
+                        (i, b, 0, lengths[b]),
+                    )
             else:
                 c["k"] = lax.dynamic_update_slice(
                     c["k"],
@@ -991,6 +1015,7 @@ def llama_decode_step(
                     lengths + 1,
                     i,
                     interpret=jax.default_backend() != "tpu",
+                    kv_scale_t=sc_t,
                 ).reshape(B, 1, cfg.num_heads * HD).astype(x.dtype)
             else:
                 from ..ops.decode_attention import decode_attention_layered
@@ -1082,10 +1107,10 @@ def llama_decode_step(
         x = x + matmul_maybe_quant(attn, wl["wo"])
         h = rmsnorm(x, wl["ln2"], cfg.rms_eps)
         x = x + _mlp(h, wl, cfg)
-        return x, c
+        return x, c, sc_t
 
-    x, new_cache = lax.fori_loop(
-        0, cfg.num_layers, layer_body, (x, dict(cache))
+    x, new_cache, _ = lax.fori_loop(
+        0, cfg.num_layers, layer_body, (x, dict(cache), sc_t0)
     )
     x = rmsnorm(x[:, 0], params["ln_f"], cfg.rms_eps)
     head = params.get("lm_head")

@@ -348,18 +348,19 @@ def _slot_attn_kernel(
     q_ref,           # VMEM (1, H, HD)
     k_hbm,           # ANY  (L, B, S, KV*HD) int8 (position-major, flattened)
     v_hbm,           # ANY  (L, B, S, KV*HD) int8
-    sc_hbm,          # ANY  (L, B, S, 2*KV) f32 — k scales [:KV], v [KV:]
+    sc_hbm,          # ANY  (L, B, 2*KV, S) f32 scale-major view — k scales
+    #                  in rows [:KV], v scales in rows [KV:]
     o_ref,           # VMEM (1, H, HD)
     k_buf,           # VMEM scratch (2, block_s, KV*HD) int8
     v_buf,           # VMEM scratch (2, block_s, KV*HD) int8
-    sc_buf,          # VMEM scratch (2, block_s, 2*KV) f32
+    sc_buf,          # VMEM scratch (2, 2*KV, block_s) f32
     sem,             # DMA sems (2, 3)
     *,
     block_s: int,
     scale: float,
     num_kv: int,
 ):
-    """One grid program per SLOT covering ALL kv heads (r4 redesign).
+    """One grid program per SLOT covering ALL kv heads (r5 redesign).
 
     The r1-r4 kernel ran one program per (slot, kv-head) with 64 KB
     blocks: ~250 serialized DMAs per slot at 8k made it DMA-latency-bound
@@ -373,10 +374,13 @@ def _slot_attn_kernel(
     head h*G+g's query in columns [kv(h)*HD, (kv(h)+1)*HD) and zeros
     elsewhere, so ONE (H, KV*HD) x (KV*HD, block_s) MXU dot yields every
     head's scores against its own kv head only (the ~KV x FLOP padding is
-    noise next to the bandwidth cost).  The PV dot computes (H, KV*HD)
-    and the block-diagonal (H, HD) slice is extracted by a mask-sum.
-    Int8 payloads dequantize in registers: per-position k/v scales ride a
-    small (block_s, 2*KV) f32 DMA alongside.
+    noise next to the bandwidth cost).  Per-position k/v scales apply to
+    SCORES and PROBS rather than the payload: a constant (H, KV) 0/1
+    selection matrix times the (KV, block_s) scale rows broadcasts each
+    kv head's scale onto its G query rows with one tiny MXU dot — no
+    sublane-misaligned slicing, no 3-D broadcasts (Mosaic rejects both).
+    The PV dot computes (H, KV*HD); the block-diagonal (H, HD) result is
+    extracted with a static kv-head loop over 128-aligned lane slices.
     """
     b = pl.program_id(0)
     li = layer_ref[0]
@@ -388,8 +392,14 @@ def _slot_attn_kernel(
     DKV = num_kv * HD
 
     def dma(slot, blk, which):
-        src = (k_hbm, v_hbm, sc_hbm)[which]
-        dst = (k_buf, v_buf, sc_buf)[which]
+        if which == 2:  # scale rows: lanes are positions in this view
+            return pltpu.make_async_copy(
+                sc_hbm.at[li, b, :, pl.ds(blk * block_s, block_s)],
+                sc_buf.at[slot],
+                sem.at[slot, 2],
+            )
+        src = (k_hbm, v_hbm)[which]
+        dst = (k_buf, v_buf)[which]
         return pltpu.make_async_copy(
             src.at[li, b, pl.ds(blk * block_s, block_s), :],
             dst.at[slot],
@@ -408,13 +418,18 @@ def _slot_attn_kernel(
     def _():
         start_all(0, 0)
 
-    # block-diagonal query: (H, 1, HD) broadcast against the head->kv-head
-    # identity mask (H, KV, 1) -> (H, KV, HD) -> (H, KV*HD)
-    head_kv = jax.lax.broadcasted_iota(jnp.int32, (H, num_kv, 1), 0) // G
-    kv_idx = jax.lax.broadcasted_iota(jnp.int32, (H, num_kv, 1), 1)
-    bd_mask = head_kv == kv_idx  # (H, KV, 1)
+    # head r = h*G + g attends kv head h: 2-D iota compares only
+    head_kv = jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0) // G  # (H, 1)
+    # block-diagonal query via 128-aligned lane concat (no 3-D reshape)
     q = q_ref[0].astype(jnp.float32) * scale  # (H, HD)
-    q_bd = jnp.where(bd_mask, q[:, None, :], 0.0).reshape(H, DKV)
+    q_bd = jnp.concatenate(
+        [jnp.where(head_kv == h, q, 0.0) for h in range(num_kv)], axis=1
+    )  # (H, KV*HD)
+    # (H, KV) selection matrix: sel @ scale_rows broadcasts kv-head scales
+    # onto query rows with one MXU dot
+    sel = (
+        head_kv == jax.lax.broadcasted_iota(jnp.int32, (H, num_kv), 1)
+    ).astype(jnp.float32)
 
     def body(blk, state):
         m, l, acc = state
@@ -426,23 +441,19 @@ def _slot_attn_kernel(
 
         wait_all(slot, blk)
 
-        ksc = sc_buf[slot][:, :num_kv]  # (block_s, KV)
-        vsc = sc_buf[slot][:, num_kv:]
-        # in-register dequant; the per-(position, kv-head) scale broadcasts
-        # over that head's HD lanes
-        k = (
-            k_buf[slot].reshape(block_s, num_kv, HD).astype(jnp.float32)
-            * ksc[:, :, None]
-        ).reshape(block_s, DKV)
-        v = (
-            v_buf[slot].reshape(block_s, num_kv, HD).astype(jnp.float32)
-            * vsc[:, :, None]
-        ).reshape(block_s, DKV)
+        ksc = sc_buf[slot][:num_kv]   # (KV, block_s) — aligned row slices
+        vsc = sc_buf[slot][num_kv:]
+        k = k_buf[slot].astype(jnp.float32)  # (block_s, DKV) int8 -> f32
+        v = v_buf[slot].astype(jnp.float32)
 
         s = jax.lax.dot_general(
             q_bd, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (H, block_s) — block-diag zeros kill cross-head terms
+        s = s * jax.lax.dot_general(
+            sel, ksc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # k dequant applied to scores: s *= ksc[kv(row)]
         pos = blk * block_s + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(pos < length, s, -1e30)
 
@@ -450,12 +461,20 @@ def _slot_attn_kernel(
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pw = p * jax.lax.dot_general(
+            sel, vsc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # v dequant folded into probs
         pv = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            pw, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (H, KV*HD); row h*G+g's true output lives in its kv block
-        pv = jnp.where(bd_mask, pv.reshape(H, num_kv, HD), 0.0).sum(axis=1)
-        acc_new = acc * alpha + pv
+        out = jnp.zeros((H, HD), jnp.float32)
+        for h in range(num_kv):  # 128-aligned lane slices, static loop
+            out = out + jnp.where(
+                head_kv == h, pv[:, h * HD : (h + 1) * HD], 0.0
+            )
+        acc_new = acc * alpha + out
         return m_new, l_new, acc_new
 
     m0 = jnp.full((H, 1), -1e30, jnp.float32)
@@ -475,6 +494,9 @@ def decode_attention_int8_slots(
     *,
     block_s: int = 512,
     interpret: bool = False,
+    kv_scale_t: Optional[jnp.ndarray] = None,  # (L, B, 2*KV, S) f32 —
+    # scale-major view; callers in a layer loop supply it to avoid a
+    # per-layer transpose (llama_decode_step maintains one per step)
 ) -> jnp.ndarray:
     """Slot-wise flash decode attention over the INT8 position-major cache.
 
@@ -485,6 +507,11 @@ def decode_attention_int8_slots(
     8192-bucket for every slot.  Payloads stream AS int8 (half of bf16)
     and dequantize in registers against the per-position scales; no bf16
     copy of the cache is ever materialised.
+
+    The scale array crosses into the kernel TRANSPOSED to (L, B, 2KV, S)
+    ("scale-major"): Mosaic DMA cannot slice the 16-lane minor dim of the
+    storage layout (tile width 128), but with positions as lanes the
+    slice is (2KV, block_s) — sublane 16, lanes 128-aligned.
     """
     B, H, HD = q.shape
     L, _, S, KV, _ = k_cache.shape
@@ -497,6 +524,8 @@ def decode_attention_int8_slots(
         # DMA/semaphore machinery, so CPU tests exercise the real kernel.
         kl = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, keepdims=False)
         vl = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, keepdims=False)
+        if kv_scale is None:
+            kv_scale = jnp.swapaxes(kv_scale_t, 2, 3)
         scl = jax.lax.dynamic_index_in_dim(kv_scale, layer, 0, keepdims=False)
         kf = kl.astype(jnp.float32) * scl[..., :KV, None]
         vf = vl.astype(jnp.float32) * scl[..., KV:, None]
@@ -505,6 +534,8 @@ def decode_attention_int8_slots(
             q, jnp.swapaxes(kf, 1, 2), jnp.swapaxes(vf, 1, 2), lengths
         )
 
+    if kv_scale_t is None:
+        kv_scale_t = jnp.swapaxes(kv_scale, 2, 3)  # (L, B, 2KV, S)
     DKV = KV * HD
     operands = [
         jnp.asarray(layer, jnp.int32)[None],
@@ -512,7 +543,7 @@ def decode_attention_int8_slots(
         q,
         k_cache.reshape(L, B, S, DKV),
         v_cache.reshape(L, B, S, DKV),
-        kv_scale,
+        kv_scale_t,
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -533,7 +564,7 @@ def decode_attention_int8_slots(
         scratch_shapes=[
             pltpu.VMEM((2, block_s, DKV), jnp.int8),
             pltpu.VMEM((2, block_s, DKV), jnp.int8),
-            pltpu.VMEM((2, block_s, 2 * KV), jnp.float32),
+            pltpu.VMEM((2, 2 * KV, block_s), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )

@@ -258,8 +258,8 @@ def test_warmup_precompiles_every_serving_program(setup):
     )
     # ctx 20 + 100 new tokens crosses the 128 and 256 context buckets;
     # ctx 80 takes the CHUNKED prefill path (2 full 32-chunks + rest);
-    # burst=2 warms the J-wide batched chunk rounds and every paced
-    # short-admission group width a 2-wide cold burst can produce
+    # burst=2 warms the power-of-two J-wide batched prefill widths a
+    # 2-wide cold burst can produce (shorts and longs alike)
     n_programs = eng.warmup(prompt_lens=[20, 80], max_new_tokens=100,
                             burst=2)
     assert n_programs >= 6  # prefills + chunks + (bucket, k) pairs + flush
@@ -285,7 +285,7 @@ def test_warmup_precompiles_every_serving_program(setup):
         req2 = await eng.submit(list(range(10, 90)), sp2, audio=True)
         async for _ in req2.pcm_chunks():
             pass
-        # cold BURSTS: simultaneous short admissions (paced group widths)
+        # cold BURSTS: simultaneous short admissions (one J-wide prefill)
         # and simultaneous long admissions (lockstep J-wide chunk rounds)
         # must both land on warmed programs (VERDICT r4 weak #8)
         shorts = [
@@ -309,3 +309,54 @@ def test_warmup_precompiles_every_serving_program(setup):
     assert after == before, (
         f"serving compiled new programs after warmup: {before} -> {after}"
     )
+
+
+def test_banded_sampling_serves_strict_parser(setup):
+    """banded_sampling=True + lenient_audio_codes=False at batch 8: random
+    weights emit exactly banded traces (id in band audio_pos%7), the
+    STRICT per-position parser accepts every code, and PCM flows on all
+    lanes (VERDICT r4 next #3; reference banding contract
+    speechpipe.py:146-189)."""
+    cfg, params, snac_cfg, snac_params = setup
+    eng = OrpheusEngine(
+        params,
+        cfg,
+        EngineConfig(
+            max_slots=8,
+            max_seq_len=256,
+            prefill_buckets=(16, 32),
+            steps_per_sync=7,
+            lenient_audio_codes=False,
+            banded_sampling=True,
+        ),
+        codec=(snac_params, snac_cfg),
+    )
+    base = 128_266  # ORPHEUS_SPECIAL_TOKENS["audio_base"]
+
+    async def go():
+        sp = SamplingParams(
+            temperature=0.9, max_tokens=22, stop_token_ids=()
+        )
+        reqs = [
+            await eng.submit([5, 6, 8 + i], sp, audio=True)
+            for i in range(8)
+        ]
+        pcms, tokens = [], []
+        for r in reqs:
+            pcms.append([h async for h in r.pcm_chunks()])
+            tokens.append([t async for t in r.tokens()])
+        await eng.close()
+        return pcms, tokens
+
+    pcms, tokens = asyncio.run(go())
+    for lane, (pcm, toks) in enumerate(zip(pcms, tokens)):
+        # every sampled token lands in its position's 4096-id band
+        for pos, t in enumerate(toks):
+            band = pos % 7
+            assert base + band * 4096 <= t < base + (band + 1) * 4096, (
+                f"lane {lane} pos {pos}: token {t} outside band {band}"
+            )
+        # 22 in-band tokens = 3 completed frames -> strict parser
+        # delivered head + steady + flush hops
+        assert len(pcm) >= 2, f"lane {lane} got {len(pcm)} hops"
+        assert all(len(h) == snac_cfg.frame_samples * 2 for h in pcm)
