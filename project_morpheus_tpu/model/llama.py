@@ -149,7 +149,14 @@ def init_kv_cache(
     """
     S = max_len or cfg.max_seq_len
     if jnp.dtype(dtype) == jnp.int8:
-        qshape = (cfg.num_layers, batch, S, cfg.num_kv_heads, cfg.head_dim)
+        # FLAT head-x-dim minor axis (KV*HD): the slot attention kernel
+        # takes the carried cache as an ALIASED pallas operand, and a
+        # reshape at that boundary defeats buffer donation — XLA then
+        # copies the multi-GB cache every layer (measured 26 ms/layer,
+        # DECISIONS r5).  Writers/readers reshape their SMALL values.
+        qshape = (
+            cfg.num_layers, batch, S, cfg.num_kv_heads * cfg.head_dim
+        )
         return {
             "k": jnp.zeros(qshape, jnp.int8),
             "v": jnp.zeros(qshape, jnp.int8),
@@ -479,17 +486,23 @@ def llama_forward(
             # prefill fast path: one whole-stack dynamic_update_slice into
             # the (donated) cache — in place, no gather/scatter machinery
             if quant:
-                # quantized layout keeps (L, 1, S, KV, HD): no transpose
+                # quantized layout keeps positions-major; values flatten
+                # their (KV, HD) minor dims to match the flat cache
                 kq, ksc = quantize_kv(ks)  # (L,1,S,KV,HD) int8, (L,1,S,KV)
                 vq, vsc = quantize_kv(vs)
-                qstart = (0, lanes[0], write_off[0], 0, 0)
+                Lr, _, Sr = kq.shape[:3]
+                qstart = (0, lanes[0], write_off[0], 0)
                 new_cache = {
-                    "k": lax.dynamic_update_slice(cache["k"], kq, qstart),
-                    "v": lax.dynamic_update_slice(cache["v"], vq, qstart),
+                    "k": lax.dynamic_update_slice(
+                        cache["k"], kq.reshape(Lr, 1, Sr, -1), qstart
+                    ),
+                    "v": lax.dynamic_update_slice(
+                        cache["v"], vq.reshape(Lr, 1, Sr, -1), qstart
+                    ),
                     "scale": lax.dynamic_update_slice(
                         cache["scale"],
                         jnp.concatenate([ksc, vsc], axis=-1),
-                        qstart[:-1],
+                        qstart,
                     ),
                 }
             else:
@@ -511,6 +524,8 @@ def llama_forward(
             if quant:
                 kq, ksc = quantize_kv(ks)  # (L,B,S,KV,HD) int8, (L,B,S,KV)
                 vq, vsc = quantize_kv(vs)
+                kq = kq.reshape(*kq.shape[:3], -1)  # flat (L,B,S,KV*HD)
+                vq = vq.reshape(*vq.shape[:3], -1)
                 new_cache = {
                     "k": _scatter_seq_q(cache["k"], kq, batch_idx, pos_idx),
                     "v": _scatter_seq_q(cache["v"], vq, batch_idx, pos_idx),
@@ -704,28 +719,30 @@ def llama_prefill_chunk(
         q = apply_rope(q, positions, inv_freqs)
         k = apply_rope(k, positions, inv_freqs)
         if quant:
-            # position-major quantized layout: write (S, KV, HD) directly
+            # position-major quantized layout: values flatten (KV, HD)
             kq, ksc = quantize_kv(k[0])  # (S,KV,HD) int8, (S,KV) f32
             vq, vsc = quantize_kv(v[0])
             c["k"] = lax.dynamic_update_slice(
-                c["k"], kq[None, None], (i, slot, offset, 0, 0)
+                c["k"], kq.reshape(S, KV * HD)[None, None],
+                (i, slot, offset, 0),
             )
             c["v"] = lax.dynamic_update_slice(
-                c["v"], vq[None, None], (i, slot, offset, 0, 0)
+                c["v"], vq.reshape(S, KV * HD)[None, None],
+                (i, slot, offset, 0),
             )
             c["scale"] = lax.dynamic_update_slice(
                 c["scale"],
                 jnp.concatenate([ksc, vsc], axis=-1)[None, None],
                 (i, slot, offset, 0),
             )
-            # history reads transpose only the hist-bucket slice (cheap),
+            # history reads reshape only the hist-bucket slice (cheap),
             # never the cache
             k_s = jnp.swapaxes(lax.dynamic_slice(
-                c["k"], (i, slot, 0, 0, 0), (1, 1, hist_bucket, KV, HD)
-            )[0, 0], 0, 1)  # (KV, hist, HD)
+                c["k"], (i, slot, 0, 0), (1, 1, hist_bucket, KV * HD)
+            )[0, 0].reshape(hist_bucket, KV, HD), 0, 1)  # (KV, hist, HD)
             v_s = jnp.swapaxes(lax.dynamic_slice(
-                c["v"], (i, slot, 0, 0, 0), (1, 1, hist_bucket, KV, HD)
-            )[0, 0], 0, 1)
+                c["v"], (i, slot, 0, 0), (1, 1, hist_bucket, KV * HD)
+            )[0, 0].reshape(hist_bucket, KV, HD), 0, 1)
             sc_s = lax.dynamic_slice(
                 c["scale"], (i, slot, 0, 0), (1, 1, hist_bucket, 2 * KV)
             )[0, 0]  # (hist, 2*KV)
@@ -821,13 +838,15 @@ def llama_prefill_chunk_batch(
         if quant:
             kq, ksc = quantize_kv(k)  # (J,C,KV,HD) int8, (J,C,KV) f32
             vq, vsc = quantize_kv(v)
+            kq = kq.reshape(J, C, KV * HD)  # flat cache minor axis
+            vq = vq.reshape(J, C, KV * HD)
             sc = jnp.concatenate([ksc, vsc], axis=-1)  # (J, C, 2*KV)
             for j in range(J):
                 c["k"] = lax.dynamic_update_slice(
-                    c["k"], kq[j][None, None], (i, slots[j], offsets[j], 0, 0)
+                    c["k"], kq[j][None, None], (i, slots[j], offsets[j], 0)
                 )
                 c["v"] = lax.dynamic_update_slice(
-                    c["v"], vq[j][None, None], (i, slots[j], offsets[j], 0, 0)
+                    c["v"], vq[j][None, None], (i, slots[j], offsets[j], 0)
                 )
                 c["scale"] = lax.dynamic_update_slice(
                     c["scale"], sc[j][None, None], (i, slots[j], offsets[j], 0)
@@ -835,11 +854,11 @@ def llama_prefill_chunk_batch(
             k_hist, v_hist, ks_hist, vs_hist = [], [], [], []
             for j in range(J):
                 k_hist.append(jnp.swapaxes(lax.dynamic_slice(
-                    c["k"], (i, slots[j], 0, 0, 0), (1, 1, hist_bucket, KV, HD)
-                )[0, 0], 0, 1))
+                    c["k"], (i, slots[j], 0, 0), (1, 1, hist_bucket, KV * HD)
+                )[0, 0].reshape(hist_bucket, KV, HD), 0, 1))
                 v_hist.append(jnp.swapaxes(lax.dynamic_slice(
-                    c["v"], (i, slots[j], 0, 0, 0), (1, 1, hist_bucket, KV, HD)
-                )[0, 0], 0, 1))
+                    c["v"], (i, slots[j], 0, 0), (1, 1, hist_bucket, KV * HD)
+                )[0, 0].reshape(hist_bucket, KV, HD), 0, 1))
                 sc_j = lax.dynamic_slice(
                     c["scale"], (i, slots[j], 0, 0), (1, 1, hist_bucket, 2 * KV)
                 )[0, 0]
@@ -930,6 +949,7 @@ def llama_decode_step(
     # position axis: dim 2 in the quantized position-major layout, dim 3
     # in the bf16 head-major layout (init_kv_cache)
     S = cache["k"].shape[2 if quant else 3]
+    DKV = cfg.num_kv_heads * cfg.head_dim
     KV, HD = cfg.num_kv_heads, cfg.head_dim
     G = cfg.num_heads // KV
     bkt = min(bucket or S, S)
@@ -969,10 +989,10 @@ def llama_decode_step(
                 kq, ksc = quantize_kv(k[b, 0])  # (KV, HD), (KV,)
                 vq, vsc = quantize_kv(v[b, 0])
                 c["k"] = lax.dynamic_update_slice(
-                    c["k"], kq.reshape(1, 1, 1, KV, HD), (i, b, lengths[b], 0, 0)
+                    c["k"], kq.reshape(1, 1, 1, DKV), (i, b, lengths[b], 0)
                 )
                 c["v"] = lax.dynamic_update_slice(
-                    c["v"], vq.reshape(1, 1, 1, KV, HD), (i, b, lengths[b], 0, 0)
+                    c["v"], vq.reshape(1, 1, 1, DKV), (i, b, lengths[b], 0)
                 )
                 sc_new = jnp.concatenate([ksc, vsc])
                 c["scale"] = lax.dynamic_update_slice(
@@ -1007,7 +1027,12 @@ def llama_decode_step(
                 # the production long-context path (DECISIONS r5)
                 from ..ops.decode_attention import decode_attention_int8_slots
 
-                attn = decode_attention_int8_slots(
+                # thread_cache: k/v/scale_t flow THROUGH the kernel
+                # (aliased) so XLA keeps this loop's interleaved cache
+                # writes in place — without it every layer copies the
+                # multi-GB cache around the opaque custom call (16.6
+                # ms/layer measured at 8x8192; DECISIONS r5)
+                attn, c["k"], c["v"], sc_t = decode_attention_int8_slots(
                     q[:, 0],
                     c["k"],
                     c["v"],
@@ -1016,7 +1041,11 @@ def llama_decode_step(
                     i,
                     interpret=jax.default_backend() != "tpu",
                     kv_scale_t=sc_t,
-                ).reshape(B, 1, cfg.num_heads * HD).astype(x.dtype)
+                    thread_cache=True,
+                )
+                attn = attn.reshape(
+                    B, 1, cfg.num_heads * HD
+                ).astype(x.dtype)
             else:
                 from ..ops.decode_attention import decode_attention_layered
 
@@ -1041,11 +1070,11 @@ def llama_decode_step(
                 # XLA handles the bucket-sized operands without touching
                 # the cache layout (the whole point; see init_kv_cache).
                 k_s = lax.dynamic_slice(
-                    c["k"], (i, 0, 0, 0, 0), (1, B, bkt, KV, HD)
-                )[0]
+                    c["k"], (i, 0, 0, 0), (1, B, bkt, DKV)
+                )[0].reshape(B, bkt, KV, HD)
                 v_s = lax.dynamic_slice(
-                    c["v"], (i, 0, 0, 0, 0), (1, B, bkt, KV, HD)
-                )[0]
+                    c["v"], (i, 0, 0, 0), (1, B, bkt, DKV)
+                )[0].reshape(B, bkt, KV, HD)
                 sc_s = lax.dynamic_slice(
                     c["scale"], (i, 0, 0, 0), (1, B, bkt, 2 * KV)
                 )[0]  # (B, bkt, 2*KV)

@@ -92,6 +92,19 @@ def available() -> bool:
     return load() is not None
 
 
+def enabled() -> bool:
+    """Native host-path delegation is FLAG-GATED (ORPHEUS_NATIVE_PCM=1):
+    the pure-Python twins in orchestrator/ are the default and the
+    equivalence oracle (tests/test_native.py); flipping the flag swaps
+    the stitcher crossfade and the PCM ring onto the C++ implementations
+    — the reference's native host delegation pattern (SURVEY §2.3,
+    llama.cpp/SNAC doing the byte work under a Python orchestrator)."""
+    return (
+        os.environ.get("ORPHEUS_NATIVE_PCM", "").lower() in ("1", "true", "on")
+        and available()
+    )
+
+
 class NativeRing:
     """ctypes wrapper over the C++ PCM ring (API-compatible core ops)."""
 

@@ -351,14 +351,13 @@ def _slot_attn_kernel(
     sc_hbm,          # ANY  (L, B, 2*KV, S) f32 scale-major view — k scales
     #                  in rows [:KV], v scales in rows [KV:]
     o_ref,           # VMEM (1, H, HD)
-    k_buf,           # VMEM scratch (2, block_s, KV*HD) int8
-    v_buf,           # VMEM scratch (2, block_s, KV*HD) int8
-    sc_buf,          # VMEM scratch (2, 2*KV, block_s) f32
-    sem,             # DMA sems (2, 3)
-    *,
+    *rest,           # [aliased k/v/scale passthrough outs] + scratch:
+    #                  k_buf/v_buf (2, block_s, KV*HD) int8,
+    #                  sc_buf (2, 2*KV, block_s) f32, DMA sems (2, 3)
     block_s: int,
     scale: float,
     num_kv: int,
+    thread_cache: bool = False,
 ):
     """One grid program per SLOT covering ALL kv heads (r5 redesign).
 
@@ -382,6 +381,12 @@ def _slot_attn_kernel(
     The PV dot computes (H, KV*HD); the block-diagonal (H, HD) result is
     extracted with a static kv-head loop over 128-aligned lane slices.
     """
+    if thread_cache:
+        # aliased passthrough outputs share the input buffers; never
+        # written (their contents ARE the cache)
+        _k_out, _v_out, _sc_out, k_buf, v_buf, sc_buf, sem = rest
+    else:
+        k_buf, v_buf, sc_buf, sem = rest
     b = pl.program_id(0)
     li = layer_ref[0]
     length = lengths_ref[b]
@@ -497,7 +502,9 @@ def decode_attention_int8_slots(
     kv_scale_t: Optional[jnp.ndarray] = None,  # (L, B, 2*KV, S) f32 —
     # scale-major view; callers in a layer loop supply it to avoid a
     # per-layer transpose (llama_decode_step maintains one per step)
-) -> jnp.ndarray:
+    thread_cache: bool = False,  # also return (k, v, scale_t) ALIASED
+    # through the kernel — see below
+):
     """Slot-wise flash decode attention over the INT8 position-major cache.
 
     The production long-context path (TPU answer to vLLM PagedAttention,
@@ -512,9 +519,24 @@ def decode_attention_int8_slots(
     ("scale-major"): Mosaic DMA cannot slice the 16-lane minor dim of the
     storage layout (tile width 128), but with positions as lanes the
     slice is (2KV, block_s) — sublane 16, lanes 128-aligned.
+
+    ``thread_cache=True`` returns ``(attn, k_cache, v_cache, kv_scale_t)``
+    with the cache arrays ALIASED through the kernel (input_output_aliases)
+    untouched.  A decode layer loop interleaves cache writes
+    (dynamic_update_slice) with kernel reads of the same buffers; XLA
+    cannot prove in-place safety across an opaque custom call, so without
+    threading it COPIES the multi-GB cache every layer (measured
+    16.6 ms/layer at 8x8192 — the whole kernel win erased).  Threading
+    makes the dataflow linear: write -> kernel(consume, return) -> write.
     """
     B, H, HD = q.shape
-    L, _, S, KV, _ = k_cache.shape
+    if k_cache.ndim == 4:  # engine layout: flat (L, B, S, KV*HD)
+        L, _, S, DKV = k_cache.shape
+        KV = DKV // HD
+        k5 = None
+    else:  # test/legacy layout (L, B, S, KV, HD)
+        L, _, S, KV, _ = k_cache.shape
+        k5 = True
     scale = HD**-0.5
     block_s = min(block_s, S)
     if S % block_s != 0:
@@ -522,6 +544,9 @@ def decode_attention_int8_slots(
         # capacities use the dense oracle on a dequantised slice.
         # ``interpret`` does NOT fall back: pallas interpret emulates the
         # DMA/semaphore machinery, so CPU tests exercise the real kernel.
+        if k5 is None:  # fallback math wants split heads
+            k_cache = k_cache.reshape(L, B, S, KV, HD)
+            v_cache = v_cache.reshape(L, B, S, KV, HD)
         kl = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, keepdims=False)
         vl = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, keepdims=False)
         if kv_scale is None:
@@ -530,46 +555,85 @@ def decode_attention_int8_slots(
         kf = kl.astype(jnp.float32) * scl[..., :KV, None]
         vf = vl.astype(jnp.float32) * scl[..., KV:, None]
         # oracle layout is head-major (B, KV, S, HD)
-        return decode_attention_reference(
+        attn = decode_attention_reference(
             q, jnp.swapaxes(kf, 1, 2), jnp.swapaxes(vf, 1, 2), lengths
         )
+        if thread_cache:
+            if k5 is None:
+                k_cache = k_cache.reshape(L, B, S, KV * HD)
+                v_cache = v_cache.reshape(L, B, S, KV * HD)
+            return attn, k_cache, v_cache, kv_scale_t
+        return attn
 
     if kv_scale_t is None:
         kv_scale_t = jnp.swapaxes(kv_scale, 2, 3)  # (L, B, 2KV, S)
     DKV = KV * HD
+    kc_flat = k_cache.reshape(L, B, S, DKV)
+    vc_flat = v_cache.reshape(L, B, S, DKV)
     operands = [
         jnp.asarray(layer, jnp.int32)[None],
         lengths,
         q,
-        k_cache.reshape(L, B, S, DKV),
-        v_cache.reshape(L, B, S, DKV),
+        kc_flat,
+        vc_flat,
         kv_scale_t,
     ]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, H, HD), lambda b, li, lens: (b, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec(
+    in_specs = [
+        pl.BlockSpec(
             (1, H, HD), lambda b, li, lens: (b, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[
-            pltpu.VMEM((2, block_s, DKV), jnp.int8),
-            pltpu.VMEM((2, block_s, DKV), jnp.int8),
-            pltpu.VMEM((2, 2 * KV, block_s), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 3)),
-        ],
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    attn_out_spec = pl.BlockSpec(
+        (1, H, HD), lambda b, li, lens: (b, 0, 0), memory_space=pltpu.VMEM
     )
+    scratch = [
+        pltpu.VMEM((2, block_s, DKV), jnp.int8),
+        pltpu.VMEM((2, block_s, DKV), jnp.int8),
+        pltpu.VMEM((2, 2 * KV, block_s), jnp.float32),
+        pltpu.SemaphoreType.DMA((2, 3)),
+    ]
     kernel = functools.partial(
-        _slot_attn_kernel, block_s=block_s, scale=scale, num_kv=KV
+        _slot_attn_kernel, block_s=block_s, scale=scale, num_kv=KV,
+        thread_cache=thread_cache,
+    )
+    if thread_cache:
+        # cache operands alias straight through to outputs (flattened
+        # input indices: 0 layer, 1 lengths, 2 q, 3 k, 4 v, 5 scale_t)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B,),
+            in_specs=in_specs,
+            out_specs=[
+                attn_out_spec,
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            scratch_shapes=scratch,
+        )
+        attn, k2, v2, sc2 = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((B, H, HD), q.dtype),
+                jax.ShapeDtypeStruct(kc_flat.shape, kc_flat.dtype),
+                jax.ShapeDtypeStruct(vc_flat.shape, vc_flat.dtype),
+                jax.ShapeDtypeStruct(kv_scale_t.shape, kv_scale_t.dtype),
+            ],
+            input_output_aliases={3: 1, 4: 2, 5: 3},
+            interpret=interpret,
+        )(*operands)
+        return attn, k2, v2, sc2  # flat engine layout
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=attn_out_spec,
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
         kernel,

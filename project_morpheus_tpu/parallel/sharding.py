@@ -173,9 +173,11 @@ def kv_cache_shardings(mesh: Mesh, quantized: bool = False) -> Dict:
     locally without communication).
     """
     if quantized:
+        # flat (L, slots, S, KV*HD) payload: the head-x-dim minor axis
+        # shards over model at kv-head boundaries (model | KV)
         return {
-            "k": _ns(mesh, None, "data", None, "model", None),
-            "v": _ns(mesh, None, "data", None, "model", None),
+            "k": _ns(mesh, None, "data", None, "model"),
+            "v": _ns(mesh, None, "data", None, "model"),
             "scale": _ns(mesh, None, "data", None, None),
         }
     return {

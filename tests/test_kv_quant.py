@@ -75,12 +75,14 @@ def test_prefill_paths_write_identical_int8(cfg, params):
         jnp.asarray(32, jnp.int32), jnp.asarray(0, jnp.int32),
         jnp.asarray(n - 32, jnp.int32), hist_bucket=64,
     )
-    KV = cfg.num_kv_heads
+    KV, HD = cfg.num_kv_heads, cfg.head_dim
     for j, name in enumerate(("k", "v")):
-        # position-major quantized layout: payload (L,B,S,KV,HD), scales
-        # combined (L,B,S,2*KV) with k in lanes [:KV], v in [KV:]
+        # position-major quantized layout: payload FLAT (L,B,S,KV*HD),
+        # scales combined (L,B,S,2*KV) with k in lanes [:KV], v in [KV:]
         qa = np.asarray(cache_a[name])[:, 0, :n].astype(np.float32)
         qb = np.asarray(cache_b[name])[:, 0, :n].astype(np.float32)
+        qa = qa.reshape(*qa.shape[:2], KV, HD)
+        qb = qb.reshape(*qb.shape[:2], KV, HD)
         sa = np.asarray(cache_a["scale"])[:, 0, :n, j * KV:(j + 1) * KV]
         sb = np.asarray(cache_b["scale"])[:, 0, :n, j * KV:(j + 1) * KV]
         ra, rb = qa * sa[..., None], qb * sb[..., None]
