@@ -164,9 +164,16 @@ async def _run_cadence_probe(engine, n_live, ctx_live, long_ctx,
 
 
 def main() -> None:
+    import os
+
     import jax
     import jax.numpy as jnp
 
+    if os.environ.get("BENCH_FORCE_CPU"):
+        # JAX_PLATFORMS=cpu alone is NOT enough here: the axon site
+        # plugin force-selects the TPU under plain `python`, so a CPU
+        # smoke run silently lands on (and contends for) the chip
+        jax.config.update("jax_platforms", "cpu")
     platform = jax.default_backend()
     on_tpu = platform == "tpu"
 
@@ -339,6 +346,38 @@ def main() -> None:
         )
         del engine
 
+    strict_row = None
+    if on_tpu:
+        # STRICT per-position band parsing under load (VERDICT r4 next
+        # #3): banded sampling confines every audio lane to its current
+        # 4096-id band, so random weights emit exactly the banded traces
+        # a real checkpoint does and lenient_audio_codes stays OFF —
+        # this row exercises the production parser end to end.
+        engine = OrpheusEngine(
+            params,
+            cfg,
+            EngineConfig(
+                max_slots=n_streams,
+                max_seq_len=2048,
+                cache_dtype="int8",
+                lenient_audio_codes=False,
+                banded_sampling=True,
+            ),
+            codec=(snac_params, snac_cfg),
+        )
+
+        async def strict():
+            engine.warmup(prompt_lens=[512], max_new_tokens=560,
+                          burst=n_streams)
+            await _run_row(engine, n_streams, 512, warm_tokens,
+                           SamplingParams)
+            row = await _run_row(engine, n_streams, 512, 560,
+                                 SamplingParams)
+            await engine.close()
+            return row
+
+        strict_row = asyncio.run(strict())
+
     headline = bf16_rows[0]["rtf"]
     result = {
         "metric": "audio_s_per_s_per_chip_batch8",
@@ -353,6 +392,7 @@ def main() -> None:
         "single_stream_short_prompt": single_row,
         "rows_bf16_kv": bf16_rows,
         "rows_int8_kv": int8_rows,
+        "row_strict_banded": strict_row,
         "bf16_kv_8k_note": (
             "8 slots x 8192 bf16 KV (~15 GiB) + weights exceeds 16 GiB "
             "HBM; int8 KV is the 8k batch-8 posture"

@@ -79,8 +79,15 @@ def init_stream_state(cfg: SNACConfig, batch: int, dtype=jnp.float32) -> State:
     }
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
 def reset_lanes(state: State, lane_mask) -> State:
-    """Zero the tails of lanes where ``lane_mask`` is True (admission)."""
+    """Zero the tails of lanes where ``lane_mask`` is True (admission).
+
+    Jitted with the state donated: ONE dispatch updating every tail in
+    place.  Eager, this was one tunnel dispatch per state leaf — a cold
+    8-stream burst's admission resets measured ~600 ms of pure dispatch
+    overhead before the r5 batching + jit (TTFA trace, DECISIONS r5).
+    """
     return {
         k: jnp.where(lane_mask[:, None, None], 0.0, v)
         for k, v in state.items()

@@ -79,13 +79,14 @@ class EngineConfig:
     # context instead of allocated capacity (DECISIONS r1-011)
     context_buckets: Tuple[int, ...] = (256, 512, 1024, 2048, 4096, 8192)
     cache_dtype: str = "bfloat16"
-    # "auto" -> dense bucketed einsum at every context: XLA streams the
-    # cache at full HBM bandwidth in one fused op, and the int8 cache rides
-    # int8 MXU dots (llama.py decode path).  The per-(slot, head) pallas
-    # flash-decode kernel is DMA-latency-bound at batch 8 (measured
-    # 18.7 ms/layer at 8x8000 vs ~0.17 ms roofline — grid programs run
-    # serially on the single TensorCore); it stays behind attn_impl=
-    # "pallas" for A/B and for future whole-slot-DMA redesign.
+    # "auto": int8 caches at context >= pallas_min_bucket select the
+    # slot-wise pallas flash-decode kernel (r5 redesign: whole-slot
+    # (block_s, KV*HD) int8 DMA, all kv heads per program, cache aliased
+    # through the call) — measured 16.6 vs dense 17.8 ms/step at uniform
+    # 8x8192 and 11.1 vs 17.5 at MIXED live lengths, because the
+    # kernel's HBM traffic follows each slot's LIVE length while dense
+    # reads the full bucket per slot.  Everything else (bf16 caches,
+    # short contexts, CPU tests) stays on the dense bucketed einsum.
     attn_impl: str = "auto"
     # smallest context bucket at which attn_impl="auto" selects the slot-
     # wise pallas flash kernel on a quantized cache (see _attn_for)
@@ -809,6 +810,8 @@ class OrpheusEngine:
         # <= 1 chunk-time of cadence per frame instead of ~6 back-to-back
         # chunk programs stalling co-batched streams
         self._prefill_jobs: List[dict] = []
+        # codec lanes awaiting a (batched) reset — see _admit
+        self._pending_lane_resets: set = set()
         # Dedicated readback workers: the frame readback and any flush-hop
         # readbacks must ENTER the tunnel promptly and in issue order (a
         # shared default executor could delay one behind unrelated work,
@@ -1109,12 +1112,13 @@ class OrpheusEngine:
         self._by_slot[slot] = req
         if req.audio:
             # fresh codec lane: zero tails = the stream-head padding of a
-            # full decode (stream_decode.init_stream_state)
-            from ..codec.stream_decode import reset_lanes
-
-            mask = np.zeros((self.ecfg.max_slots,), bool)
-            mask[slot] = True
-            self._snac_state = reset_lanes(self._snac_state, jnp.asarray(mask))
+            # full decode (stream_decode.init_stream_state).  Deferred and
+            # BATCHED: one reset_lanes dispatch per admission wave instead
+            # of one per request — 8 sequential resets measured ~500 ms of
+            # a cold burst's TTFA (r5 trace); _advance_prefill flushes the
+            # pending mask before any prefill dispatch, which always
+            # precedes the slot's first frame.
+            self._pending_lane_resets.add(slot)
 
         ids = req.prompt_ids
         # a prompt may fill the context up to a small safety margin;
@@ -1211,6 +1215,15 @@ class OrpheusEngine:
         final chunks the first tokens are sampled and their readback
         deferred to the next frame (_flush_first_tokens).
         """
+        if self._pending_lane_resets:
+            from ..codec.stream_decode import reset_lanes
+
+            mask = np.zeros((self.ecfg.max_slots,), bool)
+            for s_ in self._pending_lane_resets:
+                mask[s_] = True
+            self._pending_lane_resets.clear()
+            self._snac_state = reset_lanes(self._snac_state,
+                                           jnp.asarray(mask))
         jobs = []
         for job in self._prefill_jobs:
             if (job["req"].done
@@ -1386,9 +1399,24 @@ class OrpheusEngine:
         return jnp.asarray(gate)
 
     def _attn_for(self, bucket: Optional[int]) -> str:
-        """Resolve attn_impl="auto" per dispatch (see EngineConfig)."""
+        """Resolve attn_impl="auto" per dispatch (see EngineConfig).
+
+        Quantized caches at long context select the slot-wise flash
+        kernel: A/B at 8x8192 (scripts + DECISIONS r5-007) reads
+        pallas 16.6 vs dense 17.8 ms/step uniform and 11.1 vs 17.5
+        MIXED — the kernel's HBM traffic follows live lengths, the
+        dense path reads the full bucket for every slot.  CPU (tests)
+        keeps dense: the interpret-mode kernel emulates DMA per block.
+        """
         if self.attn_impl != "auto":
             return self.attn_impl
+        if (
+            self._on_tpu
+            and jnp.dtype(self.ecfg.cache_dtype) == jnp.int8
+            and (bucket or self.ecfg.max_seq_len)
+            >= self.ecfg.pallas_min_bucket
+        ):
+            return "pallas"
         return "dense"
 
     def _dispatch_frame(self, gate):
@@ -1521,12 +1549,16 @@ class OrpheusEngine:
         pending, self._pending_first = self._pending_first, []
         pending_hops: List[tuple] = []
         finished_audio: List[Request] = []
-        for slot, req, first in pending:
+        # ONE readback for the whole burst: each host-blocking device_get
+        # pays the tunnel's per-call tax (~26-70 ms measured) — a cold
+        # 8-stream burst's firsts read one by one cost ~560 ms of pure
+        # readback on top of the 120 ms prefill (r5 TTFA trace)
+        firsts_host = jax.device_get([f[2] for f in pending])
+        for (slot, req, _), val in zip(pending, firsts_host):
             if req.done or self._by_slot.get(slot) is not req:
                 continue  # cancelled while the prefill was in flight
             self._route_token(
-                slot, req, int(jax.device_get(first)), pending_hops,
-                finished_audio,
+                slot, req, int(val), pending_hops, finished_audio,
             )
         if pending_hops:
             self._run_audio_hops(pending_hops)
@@ -1683,10 +1715,15 @@ class OrpheusEngine:
                 if self._prefill_jobs:
                     # nothing decodable yet (prefill-only batch, or every
                     # decode consumer saturated): keep admissions moving,
-                    # chunk by chunk, without useless empty frames
+                    # chunk by chunk, without useless empty frames.  Final
+                    # chunks flip their lanes to DECODING, so the next
+                    # iteration dispatches a frame and the sampled firsts
+                    # ride ITS readback — blocking on a dedicated firsts
+                    # readback here cost a cold burst ~100 ms of serial
+                    # device+tax time before frame 1 could even dispatch
+                    # (r5 TTFA trace).
                     self._advance_prefill()
                     await self._flush_audio()
-                    self._flush_first_tokens()
                     await asyncio.sleep(0)
                     continue
                 # every live consumer queue is saturated: drain pending

@@ -205,6 +205,32 @@ def _split_heads(x: jnp.ndarray, n: int, hd: int) -> jnp.ndarray:
     return x.reshape(*x.shape[:-1], n, hd)
 
 
+def _constrain_batch_to_data(x: jnp.ndarray) -> jnp.ndarray:
+    """Pin a (B, ...) activation's batch axis to the mesh ``data`` axis.
+
+    Under the fsdp/fsdp_tp param shardings the weights' hidden dims are
+    sharded over ``data`` (ZeRO-3 storage); without an explicit
+    activation constraint GSPMD resolves the conflicting contraction by
+    UNSHARDING the batch — every device then carries the full global
+    batch's activations (measured: bf16(8,8192,F/2) temps per device and
+    a compile-time HBM OOM on v5e:2x4, DECISIONS r5).  Constraining the
+    batch per layer makes XLA all-gather the (smaller) weights instead —
+    exactly FSDP semantics.  No-op when tracing without a mesh context
+    or on meshes without a ``data`` axis.
+    """
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+        if mesh is None or "data" not in dict(mesh.shape):
+            return x
+        from jax.sharding import PartitionSpec as P
+
+        return jax.lax.with_sharding_constraint(
+            x, P("data", *([None] * (x.ndim - 1)))
+        )
+    except Exception:
+        return x
+
+
 def _attn_full(
     q: jnp.ndarray,  # (B, S, H, D)
     k: jnp.ndarray,  # (B, S, KV, D)
@@ -230,6 +256,7 @@ def _attn_full(
 def _train_layer(x, wl, positions, inv_freqs, attn_mask, mask, cfg, attn_impl):
     """One decoder layer (full-finetune path, no LoRA) — module-level so
     the gradient-accumulating custom-vjp stack below can re-apply it."""
+    x = _constrain_batch_to_data(x)
     B, S = x.shape[:2]
     h = rmsnorm(x, wl["ln1"], cfg.rms_eps)
     q, k, v = _project_qkv(h, wl, cfg)
@@ -252,6 +279,8 @@ def _f0_like(a):
     """float0 cotangent for integer/bool primals (custom_vjp contract)."""
     import numpy as _np
 
+    if a is None:
+        return None
     return _np.zeros(a.shape, jax.dtypes.float0)
 
 
@@ -372,8 +401,16 @@ def llama_forward(
         positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
     if attn_mask is None:
         attn_mask = jnp.ones((B, S), bool)
-    causal = jnp.tril(jnp.ones((S, S), bool))
-    mask = causal[None] & attn_mask[:, None, :]
+    if attn_impl == "blockwise":
+        # the blockwise kernel derives causality from block indices and
+        # takes the (B, S) padding mask directly; materialising the dense
+        # (B, S, S) mask anyway costs 2 GiB at batch 8 / seq 8192 and
+        # rides the remat residuals — the single biggest avoidable
+        # allocation in the 8-device seq-8192 recipe (DECISIONS r5)
+        mask = None
+    else:
+        causal = jnp.tril(jnp.ones((S, S), bool))
+        mask = causal[None] & attn_mask[:, None, :]
 
     inv_freqs = rope_inv_freqs(cfg)
     x = embed_lookup(params["embed"], tokens, dtype=params["ln_f"].dtype)
@@ -390,6 +427,7 @@ def llama_forward(
         return y
 
     def layer(x, scanned):
+        x = _constrain_batch_to_data(x)
         wl, ll = scanned if lora is not None else (scanned, None)
         h = rmsnorm(x, wl["ln1"], cfg.rms_eps)
         if ll is None:
