@@ -11,9 +11,10 @@ design:
 - Two entry points share weights: ``llama_forward`` (full-sequence, used
   for training and prefill) and ``llama_decode_step`` (single token per
   slot against a dense KV cache) — the decode step is the serving hot loop.
-- The KV cache is slot-major ``[layers, slots, max_seq, kv_heads, head_dim]``
-  so continuous batching (admission/eviction = barge-in) touches only the
-  slot dimension.
+- The KV cache is a slot table (bf16: ``[L, slots, KV, S, HD]``
+  head-major; int8: ``[L, slots, S, KV*HD]`` position-major flat — see
+  init_kv_cache) so continuous batching (admission/eviction = barge-in)
+  touches only the slot dimension.
 - All matmuls stay bf16 on the MXU with fp32 softmax/norm accumulators.
 """
 from __future__ import annotations
@@ -134,18 +135,18 @@ def init_kv_cache(
     quantize per position (max-abs/127); attention dequantises in
     registers (scores scale by the k scales, probs by the v scales).
 
-    LAYOUT (int8 only): payload ``(L, slots, max_seq, kv_heads, head_dim)``
-    — position OUTSIDE the (kv_heads, head_dim) minor dims — and one
-    combined scale array ``(L, slots, max_seq, 2*kv_heads)`` holding the k
-    scales in lanes ``[:KV]`` and the v scales in ``[KV:]``.  Int8 sub-byte
-    tiling cannot update a single position in place in the bf16 layout:
-    XLA relaid the ENTIRE donated cache out (and back) every decode step —
-    a cache-sized temp and +3 ms/step at 8k, measured.  With position
-    above the minor dims, each step's write is a contiguous lane row, the
-    in-place update survives, and the step's temp drops from ~3.9 GiB to
-    ~0.9 GiB (the padded scale copy) — probe history in DECISIONS r4-005.
-    The bf16 cache keeps the r1-001 head-major layout, which it tiles and
-    updates in place natively.
+    LAYOUT (int8 only): payload ``(L, slots, max_seq, kv_heads*head_dim)``
+    — position-major with a FLAT head-x-dim minor axis — and one combined
+    scale array ``(L, slots, max_seq, 2*kv_heads)`` holding the k scales
+    in lanes ``[:KV]`` and the v scales in ``[KV:]``.  Position-major
+    because int8 sub-byte tiling cannot update a single position in place
+    in the head-major layout (XLA relaid the ENTIRE donated cache every
+    decode step, +3 ms/step at 8k — DECISIONS r4-005); FLAT because the
+    slot attention kernel takes the carried cache as an ALIASED pallas
+    operand and a reshape at that boundary defeats donation (a multi-GB
+    copy per layer, measured — DECISIONS r5-002).  The bf16 cache keeps
+    the r1-001 head-major layout, which it tiles and updates in place
+    natively.
     """
     S = max_len or cfg.max_seq_len
     if jnp.dtype(dtype) == jnp.int8:

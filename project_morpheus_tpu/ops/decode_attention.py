@@ -1,17 +1,27 @@
 """Length-aware flash decode attention over the slot KV cache (Pallas).
 
 The serving hot loop reads the KV cache every step; a dense XLA attention
-reads the FULL allocated cache (slots x max_seq) regardless of how much of
-it is live, and materialises (B, H, S) score tensors.  This kernel is the
-TPU-native answer to vLLM's PagedAttention (reference engine_class.py,
-SURVEY.md §2.3): one grid program per (slot, kv-head) streams the cache
-from HBM in blocks with double-buffered DMA, stops at the slot's live
-length, and keeps a fused online-softmax accumulator in VMEM — HBM traffic
-scales with *used* context, not allocated capacity.
+reads the FULL bucketed cache (slots x bucket) regardless of how much of
+it is live.  These kernels are the TPU-native answer to vLLM's
+PagedAttention (reference engine_class.py, SURVEY.md §2.3): HBM traffic
+scales with each slot's LIVE length, not allocated capacity.
 
-Layouts match the engine cache: K/V ``(B, KV, S, HD)`` (head-major so
-per-head streams are contiguous and DMA slices stay tile-aligned),
-queries grouped GQA ``(B, H, HD)`` with ``G = H // KV`` heads per kv head.
+Two generations coexist:
+
+- ``decode_attention_int8_slots`` (r5, THE production long-context path,
+  auto-selected by the engine for int8 caches): one grid program per
+  SLOT covering all kv heads, whole-slot ``(block_s, KV*HD)`` int8 DMA
+  double-buffered, in-register scale dequant, cache aliased through the
+  call so the decode layer loop's writes stay in place.  Reads the flat
+  position-major int8 cache ``(L, B, S, KV*HD)`` + scale-major
+  ``(L, B, 2KV, S)`` view.
+- ``decode_attention`` / ``decode_attention_layered`` (r1-r4): one
+  program per (slot, kv-head) over the bf16 head-major cache
+  ``(B, KV, S, HD)`` — DMA-latency-bound at batch 8 (64 KB blocks);
+  kept for the bf16 cache A/B and tests.
+
+Queries are grouped GQA ``(B, H, HD)`` with ``G = H // KV`` heads per
+kv head in both.
 """
 from __future__ import annotations
 
