@@ -74,6 +74,10 @@ class EngineConfig:
     # fixed-size chunks, each attending to the cache history — no prompt
     # truncation up to max_seq_len (reference n_ctx 8192)
     prefill_chunk: int = 1024
+    # chunk rounds HALVE once the attended history passes this depth:
+    # deep-history rounds are what co-batched live streams stall on
+    # during admission interleave (engine._plan_chunks)
+    fine_chunk_hist: int = 4096
     # context buckets for the decode step: attention reads only the bucket
     # prefix of the KV cache, so HBM traffic follows the longest LIVE
     # context instead of allocated capacity (DECISIONS r1-011)
@@ -902,20 +906,11 @@ class OrpheusEngine:
                         (rb, self._hist_bucket(rb), True, j)
                     )
             else:
-                chunk = self.ecfg.prefill_chunk
-                n_full = (L - 1) // chunk
-                for ci in range(n_full):
+                # the warmed set mirrors _plan_chunks exactly — one
+                # source of truth for chunk widths and history buckets
+                for _off, clen, hist, final in self._plan_chunks(L):
                     for j in long_js:
-                        chunk_programs.add(
-                            (chunk, self._hist_bucket((ci + 1) * chunk),
-                             False, j)
-                        )
-                rest = L - n_full * chunk
-                rb = _bucket_for(rest, self.ecfg.prefill_buckets)
-                for j in long_js:
-                    chunk_programs.add(
-                        (rb, self._hist_bucket(n_full * chunk + rb), True, j)
-                    )
+                        chunk_programs.add((clen, hist, final, j))
             lag = n + n * k_max + 2
             start = min(L + lag, self.ecfg.max_seq_len)
             end = min(L + max_new_tokens + lag, self.ecfg.max_seq_len)
@@ -1187,15 +1182,40 @@ class OrpheusEngine:
                 return b
         return self.ecfg.max_seq_len
 
+    def _plan_chunks(self, total: int) -> List[tuple]:
+        """Chunk schedule for a prompt: [(offset, chunk_len, hist, final)].
+
+        Shared by warmup and serving so the warmed program set matches
+        dispatch exactly.  Chunks halve once the attended history passes
+        ``fine_chunk_hist``: a deep-history round's wall time is what a
+        co-batched live stream stalls during admission interleave, and
+        the per-round fixed cost is small next to it (admission hop-gap
+        p95 during an 8k admission was frame + 103 ms full-width round;
+        fine rounds cut the stall to ~frame + 60 ms, VERDICT r4 next #4).
+        """
+        top = max(self.ecfg.prefill_buckets)
+        out: List[tuple] = []
+        off = 0
+        while total - off > top:
+            c = self.ecfg.prefill_chunk
+            if off >= self.ecfg.fine_chunk_hist:
+                c = max(min(self.ecfg.prefill_buckets), c // 2)
+            c = min(c, total - off - 1)  # final chunk is never empty
+            out.append((off, c, self._hist_bucket(off + c), False))
+            off += c
+        rb = _bucket_for(total - off, self.ecfg.prefill_buckets)
+        out.append((off, rb, self._hist_bucket(off + rb), True))
+        return out
+
     def _job_next(self, job) -> tuple:
         """Descriptor of a job's next dispatch: (phase, chunk_len, hist)."""
-        ids, offset = job["ids"], job["offset"]
-        chunk = self.ecfg.prefill_chunk
-        n_full = (len(ids) - 1) // chunk  # final chunk is never empty
-        if offset < n_full * chunk:
-            return ("full", chunk, self._hist_bucket(offset + chunk))
-        rb = _bucket_for(len(ids) - offset, self.ecfg.prefill_buckets)
-        return ("final", rb, self._hist_bucket(offset + rb))
+        offset = job["offset"]
+        for off, clen, hist, final in self._plan_chunks(len(job["ids"])):
+            if off == offset:
+                return ("final" if final else "full", clen, hist)
+        raise AssertionError(
+            f"offset {offset} not on the chunk plan for {len(job['ids'])}"
+        )
 
     def _advance_prefill(self) -> None:
         """Dispatch at most ONE chunk round of the chunked-prefill jobs.
