@@ -277,3 +277,51 @@ def test_w8a8_chunk_prefill_error_bound(setup):
     np.testing.assert_allclose(
         sb[:, 0, :n], sa[:, 0, :n], rtol=0.1, atol=1e-5
     )
+
+
+def test_chunk_plan_covers_prompt_and_feeds_warmup(setup):
+    """_plan_chunks invariants: offsets tile the prompt exactly, widths
+    halve past fine_chunk_hist, exactly one final entry, and _job_next
+    agrees with the plan at every offset (warmup and serving share the
+    plan, so drift = a mid-serving compile)."""
+    from project_morpheus_tpu.engine import EngineConfig, OrpheusEngine
+
+    cfg, params = setup
+    eng = OrpheusEngine(
+        params,
+        cfg,
+        EngineConfig(
+            max_slots=2,
+            max_seq_len=256,
+            prefill_buckets=(16, 32),
+            prefill_chunk=32,
+            context_buckets=(64, 128, 256),
+            fine_chunk_hist=128,
+        ),
+    )
+    for total in (40, 64, 100, 200, 250):
+        plan = eng._plan_chunks(total)
+        off = 0
+        finals = 0
+        for p_off, clen, hist, final in plan:
+            assert p_off == off
+            assert hist >= min(off + clen, 256)
+            if final:
+                finals += 1
+                assert clen in (16, 32)
+                assert total - off <= clen
+            else:
+                assert clen in (16, 32)
+                # widths halve once the attended history passes the knob
+                if off >= 128:
+                    assert clen == 16, (total, off, clen)
+                off += clen
+                continue
+        assert finals == 1
+        # _job_next agrees with the plan at every reachable offset
+        job = {"ids": list(range(total)), "offset": 0}
+        for p_off, clen, hist, final in plan:
+            job["offset"] = p_off
+            phase, got_clen, got_hist = eng._job_next(job)
+            assert got_clen == clen and got_hist == hist
+            assert (phase == "final") == final
