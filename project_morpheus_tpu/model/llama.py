@@ -649,6 +649,9 @@ def _chunk_streaming_attn(
     positions: jnp.ndarray,  # (S,) absolute positions of the chunk queries
     hist_bucket: int,
     block_k: int = 256,
+    n_live: Optional[jnp.ndarray] = None,  # () live-history frontier —
+    # blocks past it are skipped entirely (their keys are causally
+    # masked anyway, so skipping is exact)
 ) -> jnp.ndarray:
     """Online-softmax cross-attention of a prompt chunk over its history.
 
@@ -659,52 +662,70 @@ def _chunk_streaming_attn(
     a flash accumulator keeps temporaries at block size, and an int8
     history dequantises per block in registers instead of materialising a
     bf16 copy of the cache.
+
+    The QK^T and PV dots run on MODEL-dtype operands with fp32
+    accumulation — bf16 in production, full MXU rate (fp32 operands
+    halve it; chunk rounds are the 8k admission wall, DECISIONS r5);
+    f32 test models keep f32 dots so chunk-vs-full equality tests stay
+    exact.  Int8 history scales apply to SCORES and PROBS per position,
+    flash-attention style.  ``n_live`` bounds the block loop
+    dynamically: a chunk at offset 4608 of an 8192-bucket history reads
+    4608+S positions, not 8192.
     """
     S, KV, G, HD = qg.shape
     block_k = min(block_k, hist_bucket)
     nk = hist_bucket // block_k
     assert nk * block_k == hist_bucket, "context buckets are 256-multiples"
     quant = ks_s is not None
-    qf = qg.astype(jnp.float32) * (HD**-0.5)
+    dot_dt = qg.dtype if qg.dtype != jnp.float16 else jnp.float32
+    qb = (qg.astype(jnp.float32) * (HD**-0.5)).astype(dot_dt)
 
     k_blocks = jnp.moveaxis(k_s.reshape(KV, nk, block_k, HD), 1, 0)
     v_blocks = jnp.moveaxis(v_s.reshape(KV, nk, block_k, HD), 1, 0)
-    kpos = jnp.arange(hist_bucket).reshape(nk, block_k)
-    xs = (k_blocks, v_blocks, kpos)
     if quant:
-        xs += (
-            jnp.moveaxis(ks_s.reshape(KV, nk, block_k), 1, 0),
-            jnp.moveaxis(vs_s.reshape(KV, nk, block_k), 1, 0),
-        )
+        ks_blocks = jnp.moveaxis(ks_s.reshape(KV, nk, block_k), 1, 0)
+        vs_blocks = jnp.moveaxis(vs_s.reshape(KV, nk, block_k), 1, 0)
 
-    def step(carry, inp):
+    if n_live is None:
+        n_blocks = nk
+    else:
+        n_blocks = jnp.minimum(
+            (n_live + block_k - 1) // block_k, nk
+        ).astype(jnp.int32)
+
+    def body(blk, carry):
         m, l, acc = carry
-        if quant:
-            kb, vb, kp, ksb, vsb = inp
-            kbf = kb.astype(jnp.float32) * ksb[..., None]
-            vbf = vb.astype(jnp.float32) * vsb[..., None]
-        else:
-            kb, vb, kp = inp
-            kbf = kb.astype(jnp.float32)
-            vbf = vb.astype(jnp.float32)
+        kb = lax.dynamic_index_in_dim(k_blocks, blk, 0, keepdims=False)
+        vb = lax.dynamic_index_in_dim(v_blocks, blk, 0, keepdims=False)
         s = jnp.einsum(
-            "skgd,kbd->kgsb", qf, kbf, preferred_element_type=jnp.float32
+            "skgd,kbd->kgsb", qb, kb.astype(dot_dt),
+            preferred_element_type=jnp.float32,
         )  # (KV, G, S, block_k)
+        if quant:
+            ksb = lax.dynamic_index_in_dim(ks_blocks, blk, 0,
+                                           keepdims=False)  # (KV, block_k)
+            s = s * ksb[:, None, None, :]
+        kp = blk * block_k + jnp.arange(block_k)
         valid = kp[None, None, None, :] <= positions[None, None, :, None]
         s = jnp.where(valid, s, -1e30)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1))
         p = jnp.exp(s - m_new[..., None])
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1)
+        if quant:
+            vsb = lax.dynamic_index_in_dim(vs_blocks, blk, 0,
+                                           keepdims=False)
+            p = p * vsb[:, None, None, :]
         acc_new = acc * alpha[..., None] + jnp.einsum(
-            "kgsb,kbd->kgsd", p, vbf, preferred_element_type=jnp.float32
+            "kgsb,kbd->kgsd", p.astype(dot_dt), vb.astype(dot_dt),
+            preferred_element_type=jnp.float32,
         )
-        return (m_new, l_new, acc_new), None
+        return (m_new, l_new, acc_new)
 
     m0 = jnp.full((KV, G, S), -1e30, jnp.float32)
     l0 = jnp.zeros((KV, G, S), jnp.float32)
     acc0 = jnp.zeros((KV, G, S, HD), jnp.float32)
-    (m, l, acc), _ = lax.scan(step, (m0, l0, acc0), xs)
+    m, l, acc = lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
     out = acc / jnp.maximum(l, 1e-30)[..., None]  # (KV, G, S, HD)
     return jnp.moveaxis(out, 2, 0).reshape(S, KV * G * HD)
 
@@ -805,7 +826,8 @@ def llama_prefill_chunk(
             ks_s = vs_s = None
         qg = q[0].reshape(S, KV, G, HD)
         attn = _chunk_streaming_attn(
-            qg, k_s, v_s, ks_s, vs_s, positions[0], hist_bucket
+            qg, k_s, v_s, ks_s, vs_s, positions[0], hist_bucket,
+            n_live=offset + S,
         ).reshape(1, S, cfg.num_heads * HD).astype(x.dtype)
         x = x + mm(attn, wl["wo"])
         h = rmsnorm(x, wl["ln2"], cfg.rms_eps)
@@ -904,9 +926,11 @@ def llama_prefill_chunk_batch(
                 ks_hist.append(sc_j[:, :KV].T)
                 vs_hist.append(sc_j[:, KV:].T)
             qg = q.reshape(J, C, KV, G, HD)
+            n_live = jnp.max(offsets) + C  # lockstep: offsets are equal
             attn = jax.vmap(
                 lambda qg_, k_, v_, ks_, vs_, pos_: _chunk_streaming_attn(
-                    qg_, k_, v_, ks_, vs_, pos_, hist_bucket
+                    qg_, k_, v_, ks_, vs_, pos_, hist_bucket,
+                    n_live=n_live,
                 )
             )(qg, jnp.stack(k_hist), jnp.stack(v_hist),
               jnp.stack(ks_hist), jnp.stack(vs_hist), positions)
@@ -929,9 +953,11 @@ def llama_prefill_chunk_batch(
                 c["v"], (i, slots[j], 0, 0, 0), (1, 1, KV, hist_bucket, HD)
             )[0, 0] for j in range(J)]
             qg = q.reshape(J, C, KV, G, HD)
+            n_live = jnp.max(offsets) + C
             attn = jax.vmap(
                 lambda qg_, k_, v_, pos_: _chunk_streaming_attn(
-                    qg_, k_, v_, None, None, pos_, hist_bucket
+                    qg_, k_, v_, None, None, pos_, hist_bucket,
+                    n_live=n_live,
                 )
             )(qg, jnp.stack(k_hist), jnp.stack(v_hist), positions)
         attn = attn.reshape(J, C, cfg.num_heads * HD).astype(x.dtype)
