@@ -196,8 +196,13 @@ def main() -> None:
         # budget to the 8192-window headroom (190 tokens = 27 frames), so
         # that row measures the admission wall + a short decode tail —
         # each row's tokens_effective field records the real budget.
+        # ctx 7424 is the 8k-CLASS row with the full 560-token budget
+        # (7424 + 560 + margin fits the 8192 window): it separates
+        # steady-state 8k serving from the ctx-8000 row's admission wall
         bf16_max_seq, bf16_rows_spec = 4096, [(512, 560), (2048, 560)]
-        int8_max_seq, int8_rows_spec = 8192, [(2048, 560), (8000, 560)]
+        int8_max_seq, int8_rows_spec = 8192, [
+            (2048, 560), (7424, 560), (8000, 560),
+        ]
         n_streams = 8
         warm_tokens = 14
         model_name = "orpheus_3b_int8w"
