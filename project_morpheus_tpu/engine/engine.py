@@ -1001,6 +1001,12 @@ class OrpheusEngine:
                 self._snac_state, jnp.asarray(np.zeros((B,), bool))
             )
             programs += 2
+        # the admission path's EAGER ops compile on first use too: the
+        # engine-key split (unseeded requests) and the seeded-key
+        # constructor — a cold first admission measured a multi-second
+        # stall on the tunnel's remote compiler without this (r5 trace)
+        self._split_key()
+        jax.random.key(0)
         # wipe every trace of the warmup from the slot table (presence
         # rows, lengths, rings); KV garbage at position 0 is overwritten
         # by the next prefill into a slot before anything can read it
