@@ -1438,6 +1438,10 @@ class OrpheusEngine:
             return self.attn_impl
         if (
             self._on_tpu
+            # the kernel reads whole per-slot cache rows; a TP/DP-sharded
+            # cache would need a shard_map wrapper — mesh engines stay on
+            # the dense path until that exists
+            and self.mesh is None
             and jnp.dtype(self.ecfg.cache_dtype) == jnp.int8
             and (bucket or self.ecfg.max_seq_len)
             >= self.ecfg.pallas_min_bucket
