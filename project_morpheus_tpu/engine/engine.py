@@ -907,10 +907,14 @@ class OrpheusEngine:
                     )
             else:
                 # the warmed set mirrors _plan_chunks exactly — one
-                # source of truth for chunk widths and history buckets
-                for _off, clen, hist, final in self._plan_chunks(L):
-                    for j in long_js:
-                        chunk_programs.add((clen, hist, final, j))
+                # source of truth for chunk widths and history buckets;
+                # both the fine (live-traffic) and coarse (cold-burst)
+                # plans are warmed, since admission picks per job
+                for fine in (True, False):
+                    for _off, clen, hist, final in self._plan_chunks(
+                            L, fine=fine):
+                        for j in long_js:
+                            chunk_programs.add((clen, hist, final, j))
             lag = n + n * k_max + 2
             start = min(L + lag, self.ecfg.max_seq_len)
             end = min(L + max_new_tokens + lag, self.ecfg.max_seq_len)
@@ -1176,9 +1180,15 @@ class OrpheusEngine:
         # dedicated single-shot program).  Deliberately no dispatch here:
         # a burst admits all its jobs first, so the group stays in
         # lockstep and the next round covers it in ONE program.
+        # freeze the chunk plan at admission: fine (cadence-protecting)
+        # rounds only when some stream is already decoding; a cold burst
+        # keeps full-width rounds (see _plan_chunks)
+        fine = any(
+            r.state is RequestState.DECODING for r in self._by_slot.values()
+        )
         self._prefill_jobs.append(
             {"req": req, "slot": slot, "ids": list(ids), "samp": samp,
-             "offset": 0, "stops": stops, "key": req_key}
+             "offset": 0, "stops": stops, "key": req_key, "fine": fine}
         )
 
     def _hist_bucket(self, need: int) -> int:
@@ -1188,23 +1198,31 @@ class OrpheusEngine:
                 return b
         return self.ecfg.max_seq_len
 
-    def _plan_chunks(self, total: int) -> List[tuple]:
+    def _plan_chunks(self, total: int, fine: bool = True) -> List[tuple]:
         """Chunk schedule for a prompt: [(offset, chunk_len, hist, final)].
 
         Shared by warmup and serving so the warmed program set matches
-        dispatch exactly.  Chunks halve once the attended history passes
-        ``fine_chunk_hist``: a deep-history round's wall time is what a
-        co-batched live stream stalls during admission interleave, and
-        the per-round fixed cost is small next to it (admission hop-gap
-        p95 during an 8k admission was frame + 103 ms full-width round;
-        fine rounds cut the stall to ~frame + 60 ms, VERDICT r4 next #4).
+        dispatch exactly.  With ``fine`` (the live-traffic plan), chunks
+        halve once the attended history passes ``fine_chunk_hist``: a
+        deep-history round's wall time is what a co-batched live stream
+        stalls during admission interleave, and the per-round fixed cost
+        is small next to it (admission hop-gap p95 during an 8k admission
+        was frame + 103 ms full-width round; fine rounds cut the stall to
+        ~frame + 60 ms, VERDICT r4 next #4).
+
+        A COLD admission (no stream decoding when the job is admitted)
+        has no cadence to protect, so it keeps full-width chunks all the
+        way: half the deep-history rounds, and 8k-wide rounds run their
+        w8a8 matmuls ~24% faster (M=8192 vs 4096, measured
+        scripts/probe_w8a8_rate.py, DECISIONS r5-012).  The flag is
+        frozen per job at admission — a job's offsets must walk ONE plan.
         """
         top = max(self.ecfg.prefill_buckets)
         out: List[tuple] = []
         off = 0
         while total - off > top:
             c = self.ecfg.prefill_chunk
-            if off >= self.ecfg.fine_chunk_hist:
+            if fine and off >= self.ecfg.fine_chunk_hist:
                 c = max(min(self.ecfg.prefill_buckets), c // 2)
             c = min(c, total - off - 1)  # final chunk is never empty
             out.append((off, c, self._hist_bucket(off + c), False))
@@ -1216,7 +1234,8 @@ class OrpheusEngine:
     def _job_next(self, job) -> tuple:
         """Descriptor of a job's next dispatch: (phase, chunk_len, hist)."""
         offset = job["offset"]
-        for off, clen, hist, final in self._plan_chunks(len(job["ids"])):
+        for off, clen, hist, final in self._plan_chunks(
+                len(job["ids"]), fine=job.get("fine", True)):
             if off == offset:
                 return ("final" if final else "full", clen, hist)
         raise AssertionError(

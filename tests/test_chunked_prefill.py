@@ -299,29 +299,32 @@ def test_chunk_plan_covers_prompt_and_feeds_warmup(setup):
             fine_chunk_hist=128,
         ),
     )
-    for total in (40, 64, 100, 200, 250):
-        plan = eng._plan_chunks(total)
-        off = 0
-        finals = 0
-        for p_off, clen, hist, final in plan:
-            assert p_off == off
-            assert hist >= min(off + clen, 256)
-            if final:
-                finals += 1
-                assert clen in (16, 32)
-                assert total - off <= clen
-            else:
-                assert clen in (16, 32)
-                # widths halve once the attended history passes the knob
-                if off >= 128:
-                    assert clen == 16, (total, off, clen)
-                off += clen
-                continue
-        assert finals == 1
-        # _job_next agrees with the plan at every reachable offset
-        job = {"ids": list(range(total)), "offset": 0}
-        for p_off, clen, hist, final in plan:
-            job["offset"] = p_off
-            phase, got_clen, got_hist = eng._job_next(job)
-            assert got_clen == clen and got_hist == hist
-            assert (phase == "final") == final
+    for fine in (True, False):
+        for total in (40, 64, 100, 200, 250):
+            plan = eng._plan_chunks(total, fine=fine)
+            off = 0
+            finals = 0
+            for p_off, clen, hist, final in plan:
+                assert p_off == off
+                assert hist >= min(off + clen, 256)
+                if final:
+                    finals += 1
+                    assert clen in (16, 32)
+                    assert total - off <= clen
+                else:
+                    assert clen in (16, 32)
+                    # live plan: widths halve once the attended history
+                    # passes the knob; cold plan keeps full width
+                    if off >= 128:
+                        assert clen == (16 if fine else 32), (
+                            total, off, clen, fine)
+                    off += clen
+                    continue
+            assert finals == 1
+            # _job_next agrees with the plan at every reachable offset
+            job = {"ids": list(range(total)), "offset": 0, "fine": fine}
+            for p_off, clen, hist, final in plan:
+                job["offset"] = p_off
+                phase, got_clen, got_hist = eng._job_next(job)
+                assert got_clen == clen and got_hist == hist
+                assert (phase == "final") == final
